@@ -1,0 +1,273 @@
+"""Index loading and the TPU-resident index structure.
+
+Input formats mirror the reference's index resolution
+(``kmer_mapper/util.py:38-68``):
+
+1. a ``graph_kmer_index.KmerIndex``-format ``.npz`` (fields ``hashes_to_index``,
+   ``n_kmers``, ``kmers``, ``nodes``, ``frequencies``, ``modulo``; leading
+   underscores tolerated; ``ref_offsets`` dropped on load = the reference's
+   ``remove_ref_offsets()``; node dtype narrowed to int32 = ``convert_to_int32()``),
+2. a "minimal" index (same, possibly missing ``frequencies`` -> treated as 1),
+3. a counter-style index (fields ``counter_keys`` unique kmers [+ optional
+   ``kmers``/``nodes`` for node conversion]) — the ``CounterKmerIndex`` analog,
+4. an index bundle: a zip/npz containing a ``kmer_index`` member
+   (``graph_kmer_index.IndexBundle`` analog),
+5. this package's own prebuilt ``.tpuidx.npz`` (table + finalization arrays),
+   which skips the re-layout cost on reload.
+
+Whatever the input, loading produces a :class:`TpuKmerIndex`: the power-of-two
+bucketized open-addressing table of *unique* kmers (see ``layout.py``) plus the
+per-entry finalization arrays used to turn unique-kmer counts into graph-node
+counts with the reference's exact per-entry frequency-filter semantics
+(``kmer_mapper/mapper.pyx:58-68``).
+"""
+from __future__ import annotations
+
+import dataclasses
+import io
+import logging
+import zipfile
+
+import numpy as np
+
+from ..oracle import KmerIndexArrays, build_kmer_index
+from . import layout
+
+logger = logging.getLogger(__name__)
+
+_REF_FIELDS = ("hashes_to_index", "n_kmers", "kmers", "nodes", "frequencies", "modulo")
+
+
+def _npz_get(data, name):
+    for key in (name, "_" + name):
+        if key in data:
+            return data[key]
+    return None
+
+
+def load_reference_npz(path_or_file) -> KmerIndexArrays:
+    """Load a ``graph_kmer_index`` KmerIndex/MinimalKmerIndex ``.npz``."""
+    with np.load(path_or_file, allow_pickle=False) as data:
+        fields = {name: _npz_get(data, name) for name in _REF_FIELDS}
+    if fields["kmers"] is None or fields["hashes_to_index"] is None:
+        raise ValueError("not a KmerIndex .npz (missing kmers/hashes_to_index)")
+    n = len(fields["kmers"])
+    if fields["frequencies"] is None:
+        fields["frequencies"] = np.ones(n, dtype=np.uint16)  # minimal index form
+    modulo = int(np.asarray(fields["modulo"]).reshape(-1)[0])
+    return KmerIndexArrays(
+        hashes_to_index=fields["hashes_to_index"].astype(np.int32),
+        n_kmers=fields["n_kmers"].astype(np.int32),
+        kmers=fields["kmers"].astype(np.uint64),
+        nodes=fields["nodes"].astype(np.int32),
+        frequencies=fields["frequencies"].astype(np.uint16),
+        modulo=modulo,
+    )
+
+
+def save_reference_npz(path, index: KmerIndexArrays) -> None:
+    """Write the reference-compatible ``.npz`` layout (for interop and tests)."""
+    np.savez(
+        path,
+        hashes_to_index=index.hashes_to_index,
+        n_kmers=index.n_kmers,
+        kmers=index.kmers,
+        nodes=index.nodes,
+        frequencies=index.frequencies,
+        modulo=np.uint64(index.modulo),
+    )
+
+
+@dataclasses.dataclass
+class TpuKmerIndex:
+    """Device-ready index: unique-kmer table + entry finalization arrays."""
+
+    table: layout.TableArrays
+    # per-entry arrays (an index entry = one (kmer, node) pair; kmers may repeat)
+    entry_slot: np.ndarray  # int32[N] global table slot of the entry's kmer
+    entry_node: np.ndarray  # int32[N]
+    entry_frequency: np.ndarray  # uint16[N]
+    max_node_id: int
+    # unique kmers in slot order are implied by the table; kept for counter APIs
+    n_unique: int
+
+    @classmethod
+    def from_arrays(
+        cls, index: KmerIndexArrays, max_load: float = layout.DEFAULT_MAX_LOAD
+    ) -> "TpuKmerIndex":
+        return cls.from_entries(
+            index.kmers, index.nodes, index.frequencies, max_load=max_load
+        )
+
+    @classmethod
+    def from_entries(
+        cls,
+        kmers: np.ndarray,
+        nodes: np.ndarray,
+        frequencies: np.ndarray | None = None,
+        max_load: float = layout.DEFAULT_MAX_LOAD,
+    ) -> "TpuKmerIndex":
+        kmers = np.asarray(kmers, dtype=np.uint64)
+        nodes = np.asarray(nodes, dtype=np.int32)
+        if frequencies is None:
+            _, inverse, counts = np.unique(kmers, return_inverse=True, return_counts=True)
+            frequencies = np.minimum(counts[inverse], 65535).astype(np.uint16)
+        unique = np.unique(kmers)
+        table = layout.build_table(unique, max_load=max_load)
+        entry_slot = layout.query_table(table, kmers)
+        assert (entry_slot >= 0).all()
+        return cls(
+            table=table,
+            entry_slot=entry_slot.astype(np.int32),
+            entry_node=nodes,
+            entry_frequency=np.asarray(frequencies, dtype=np.uint16),
+            max_node_id=int(nodes.max()) if len(nodes) else 0,
+            n_unique=len(unique),
+        )
+
+    @classmethod
+    def from_counter_keys(cls, unique_kmers: np.ndarray) -> "TpuKmerIndex":
+        """Counter-only index (no node mapping): counts unique kmers."""
+        unique = np.unique(np.asarray(unique_kmers, dtype=np.uint64))
+        table = layout.build_table(unique)
+        slot = layout.query_table(table, unique)
+        return cls(
+            table=table,
+            entry_slot=slot.astype(np.int32),
+            entry_node=np.arange(len(unique), dtype=np.int32),
+            entry_frequency=np.ones(len(unique), dtype=np.uint16),
+            max_node_id=len(unique) - 1 if len(unique) else 0,
+            n_unique=len(unique),
+        )
+
+    def node_counts(
+        self, slot_counts: np.ndarray, max_frequency: int = 1000
+    ) -> np.ndarray:
+        """Unique-kmer slot counts -> per-node hit counts, applying the CPU
+        path's strict ``frequency > max_frequency`` entry skip
+        (``mapper.pyx:64-66``). Returns uint32[max_node_id+1]."""
+        slot_counts = np.asarray(slot_counts).reshape(-1)
+        ok = self.entry_frequency <= max_frequency
+        weights = slot_counts[self.entry_slot[ok]].astype(np.float64)
+        out = np.bincount(
+            self.entry_node[ok].astype(np.int64),
+            weights=weights,
+            minlength=self.max_node_id + 1,
+        )
+        return out.astype(np.uint32)
+
+    def kmer_counts(self, slot_counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(unique_kmers_in_slot_order, counts) — the counter view."""
+        lo = self.table.key_lo.reshape(-1)
+        hi = self.table.key_hi.reshape(-1)
+        occupied = ~((lo == layout.EMPTY) & (hi == layout.EMPTY))
+        kmers = lo.astype(np.uint64) | (hi.astype(np.uint64) << np.uint64(32))
+        counts = np.asarray(slot_counts).reshape(-1)
+        return kmers[occupied], counts[occupied]
+
+    def to_file(self, path) -> None:
+        np.savez(
+            path,
+            format=np.array(["tpuidx-v1"]),
+            table_key_lo=self.table.key_lo,
+            table_key_hi=self.table.key_hi,
+            table_max_probe=np.int64(self.table.max_probe),
+            table_seed=np.int64(self.table.seed),
+            entry_slot=self.entry_slot,
+            entry_node=self.entry_node,
+            entry_frequency=self.entry_frequency,
+            max_node_id=np.int64(self.max_node_id),
+            n_unique=np.int64(self.n_unique),
+        )
+
+    @classmethod
+    def from_file(cls, path_or_file) -> "TpuKmerIndex":
+        with np.load(path_or_file, allow_pickle=False) as data:
+            key_lo = data["table_key_lo"]
+            table = layout.TableArrays(
+                key_lo=key_lo,
+                key_hi=data["table_key_hi"],
+                n_buckets=key_lo.shape[0],
+                max_probe=int(data["table_max_probe"]),
+                seed=int(data["table_seed"]),
+            )
+            return cls(
+                table=table,
+                entry_slot=data["entry_slot"],
+                entry_node=data["entry_node"],
+                entry_frequency=data["entry_frequency"],
+                max_node_id=int(data["max_node_id"]),
+                n_unique=int(data["n_unique"]),
+            )
+
+
+def _is_tpuidx(path_or_file) -> bool:
+    try:
+        with np.load(path_or_file, allow_pickle=False) as data:
+            return "table_key_lo" in data
+    except Exception:
+        return False
+
+
+def load_index(source) -> TpuKmerIndex:
+    """Resolve any supported index form into a TpuKmerIndex
+    (reference: ``_get_kmer_index_from_args``, ``util.py:38-68``)."""
+    if isinstance(source, TpuKmerIndex):
+        return source
+    if isinstance(source, KmerIndexArrays):
+        return TpuKmerIndex.from_arrays(source)
+    path = str(source)
+    if _is_tpuidx(path):
+        logger.info("Loading prebuilt TPU index %s", path)
+        return TpuKmerIndex.from_file(path)
+    # counter-style npz?
+    try:
+        with np.load(path, allow_pickle=False) as data:
+            if "counter_keys" in data:
+                logger.info("Kmer index is counter index")
+                return TpuKmerIndex.from_counter_keys(data["counter_keys"])
+    except Exception:
+        pass
+    # a bundle is a zip that is not itself a loadable .npz index
+    try:
+        arrays = load_reference_npz(path)
+    except Exception:
+        if zipfile.is_zipfile(path):
+            return load_bundle(path)
+        raise
+    logger.info(
+        "Loaded reference-format index: %d entries, modulo %d; re-laying out for TPU",
+        len(arrays.kmers),
+        arrays.modulo,
+    )
+    return TpuKmerIndex.from_arrays(arrays)
+
+
+def load_bundle(path) -> TpuKmerIndex:
+    """Index bundle: a zip archive containing a kmer_index ``.npz`` member
+    (``graph_kmer_index.IndexBundle`` analog, ``util.py:51-53``)."""
+    with zipfile.ZipFile(path) as zf:
+        names = [n for n in zf.namelist() if "kmer_index" in n]
+        if not names:
+            raise ValueError(f"bundle {path} has no kmer_index member")
+        with zf.open(names[0]) as member:
+            payload = io.BytesIO(member.read())
+    if _is_tpuidx(payload):
+        payload.seek(0)
+        return TpuKmerIndex.from_file(payload)
+    payload.seek(0)
+    return TpuKmerIndex.from_arrays(load_reference_npz(payload))
+
+
+def build_toy_index(
+    n_unique: int, k: int, n_nodes: int, seed: int = 0, dup_fraction: float = 0.2
+) -> KmerIndexArrays:
+    """Synthesize a reference-layout index for tests/benchmarks."""
+    rng = np.random.default_rng(seed)
+    mask = np.uint64(4**k - 1) if k < 32 else np.uint64(0xFFFFFFFFFFFFFFFF)
+    kmers = np.unique(rng.integers(0, 1 << 62, n_unique * 2, dtype=np.uint64) & mask)[:n_unique]
+    n_dup = int(len(kmers) * dup_fraction)
+    entry_kmers = np.concatenate([kmers, rng.choice(kmers, n_dup)])
+    nodes = rng.integers(0, n_nodes, len(entry_kmers)).astype(np.int32)
+    modulo = max(2, int(len(entry_kmers) * 1.7) | 1)
+    return build_kmer_index(entry_kmers, nodes, modulo)

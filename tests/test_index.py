@@ -1,0 +1,145 @@
+"""Index layer tests: table build/query, npz loaders, TpuKmerIndex finalization."""
+import io
+import zipfile
+
+import numpy as np
+import pytest
+
+from kmer_mapper_tpu import oracle
+from kmer_mapper_tpu.index import kmer_index as ki
+from kmer_mapper_tpu.index import layout
+
+
+def test_table_build_and_query_roundtrip():
+    rng = np.random.default_rng(1)
+    keys = np.unique(rng.integers(0, 1 << 62, 5000, dtype=np.uint64))
+    table = layout.build_table(keys)
+    slots = layout.query_table(table, keys)
+    assert (slots >= 0).all()
+    # slots are distinct and store the right keys
+    assert len(np.unique(slots)) == len(keys)
+    lo = table.key_lo.reshape(-1)[slots]
+    hi = table.key_hi.reshape(-1)[slots]
+    np.testing.assert_array_equal(lo.astype(np.uint64) | (hi.astype(np.uint64) << np.uint64(32)), keys)
+    # absent keys return -1
+    absent = np.setdiff1d(rng.integers(0, 1 << 62, 1000, dtype=np.uint64), keys)
+    np.testing.assert_array_equal(layout.query_table(table, absent), -1)
+
+
+def test_table_build_high_load_overflow_chaining():
+    rng = np.random.default_rng(2)
+    keys = np.unique(rng.integers(0, 1 << 62, 4096, dtype=np.uint64))
+    # force a small table: high load factor exercises bucket overflow chaining
+    n_buckets = layout._next_pow2(int(np.ceil(len(keys) / layout.BUCKET_WIDTH * 1.05)))
+    table = layout.build_table(keys, n_buckets=n_buckets)
+    assert table.max_probe > 1  # overflow actually happened
+    slots = layout.query_table(table, keys)
+    assert (slots >= 0).all()
+    assert len(np.unique(slots)) == len(keys)
+
+
+def test_reference_npz_roundtrip(tmp_path):
+    index = ki.build_toy_index(n_unique=500, k=31, n_nodes=200, seed=3)
+    path = tmp_path / "index.npz"
+    ki.save_reference_npz(path, index)
+    loaded = ki.load_reference_npz(path)
+    np.testing.assert_array_equal(loaded.kmers, index.kmers)
+    np.testing.assert_array_equal(loaded.nodes, index.nodes)
+    assert loaded.modulo == index.modulo
+
+
+def test_reference_npz_underscore_fields_and_missing_frequencies(tmp_path):
+    index = ki.build_toy_index(n_unique=100, k=21, n_nodes=50, seed=4)
+    path = tmp_path / "minimal_index.npz"
+    np.savez(
+        path,
+        _hashes_to_index=index.hashes_to_index,
+        _n_kmers=index.n_kmers,
+        _kmers=index.kmers,
+        _nodes=index.nodes,
+        _modulo=np.uint64(index.modulo),
+        _ref_offsets=np.zeros(len(index.kmers), dtype=np.uint64),  # must be dropped
+    )
+    loaded = ki.load_reference_npz(path)
+    np.testing.assert_array_equal(loaded.frequencies, 1)
+    np.testing.assert_array_equal(loaded.kmers, index.kmers)
+
+
+def test_tpu_index_node_counts_match_oracle_probe():
+    index = ki.build_toy_index(n_unique=2000, k=31, n_nodes=500, seed=5)
+    tpu = ki.TpuKmerIndex.from_arrays(index)
+    rng = np.random.default_rng(6)
+    queries = np.concatenate(
+        [rng.choice(index.kmers, 5000), rng.integers(0, 1 << 62, 1000, dtype=np.uint64)]
+    )
+    # count on the "device" structure via the host query path
+    slots = layout.query_table(tpu.table, queries)
+    slot_counts = np.bincount(slots[slots >= 0], minlength=tpu.table.n_slots)
+    got = tpu.node_counts(slot_counts)
+    expect = oracle.map_kmers_to_index(index, queries)
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_tpu_index_frequency_filter():
+    kmers = np.array([5, 9, 13], dtype=np.uint64)
+    nodes = np.array([0, 1, 2], dtype=np.int32)
+    freqs = np.array([1, 1001, 1000], dtype=np.uint16)
+    arrays = oracle.build_kmer_index(kmers, nodes, 101, frequencies=freqs)
+    tpu = ki.TpuKmerIndex.from_arrays(arrays)
+    slots = layout.query_table(tpu.table, kmers)
+    slot_counts = np.bincount(slots, minlength=tpu.table.n_slots)
+    np.testing.assert_array_equal(tpu.node_counts(slot_counts), [1, 0, 1])
+    np.testing.assert_array_equal(tpu.node_counts(slot_counts, max_frequency=2000), [1, 1, 1])
+
+
+def test_tpuidx_file_roundtrip(tmp_path):
+    index = ki.build_toy_index(n_unique=300, k=31, n_nodes=100, seed=7)
+    tpu = ki.TpuKmerIndex.from_arrays(index)
+    path = tmp_path / "index.tpuidx.npz"
+    tpu.to_file(path)
+    loaded = ki.load_index(path)
+    np.testing.assert_array_equal(loaded.table.key_lo, tpu.table.key_lo)
+    np.testing.assert_array_equal(loaded.entry_slot, tpu.entry_slot)
+    assert loaded.max_node_id == tpu.max_node_id
+
+
+def test_load_index_reference_form(tmp_path):
+    index = ki.build_toy_index(n_unique=300, k=31, n_nodes=100, seed=8)
+    path = tmp_path / "index.npz"
+    ki.save_reference_npz(path, index)
+    tpu = ki.load_index(path)
+    assert tpu.n_unique == len(np.unique(index.kmers))
+    assert tpu.max_node_id == index.max_node_id()
+
+
+def test_load_index_counter_form(tmp_path):
+    keys = np.unique(np.random.default_rng(9).integers(0, 1 << 62, 100, dtype=np.uint64))
+    path = tmp_path / "counter.npz"
+    np.savez(path, counter_keys=keys)
+    tpu = ki.load_index(path)
+    assert tpu.n_unique == len(keys)
+    slots = layout.query_table(tpu.table, keys)
+    slot_counts = np.bincount(slots, minlength=tpu.table.n_slots).astype(np.uint32)
+    got_kmers, got_counts = tpu.kmer_counts(slot_counts)
+    order = np.argsort(got_kmers)
+    np.testing.assert_array_equal(np.sort(got_kmers), np.sort(keys))
+    np.testing.assert_array_equal(got_counts[order], 1)
+
+
+def test_load_bundle(tmp_path):
+    index = ki.build_toy_index(n_unique=200, k=31, n_nodes=64, seed=10)
+    inner = io.BytesIO()
+    np.savez(
+        inner,
+        hashes_to_index=index.hashes_to_index,
+        n_kmers=index.n_kmers,
+        kmers=index.kmers,
+        nodes=index.nodes,
+        frequencies=index.frequencies,
+        modulo=np.uint64(index.modulo),
+    )
+    bundle = tmp_path / "bundle.zip"
+    with zipfile.ZipFile(bundle, "w") as zf:
+        zf.writestr("kmer_index.npz", inner.getvalue())
+    tpu = ki.load_index(bundle)
+    assert tpu.max_node_id == index.max_node_id()
