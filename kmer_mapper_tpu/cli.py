@@ -1,0 +1,181 @@
+"""Command-line interface.
+
+Flag-compatible with the reference CLI (``kmer_mapper map``,
+``command_line_interface.py:155-192``):
+
+    kmer_mapper_tpu map -i index.npz -f reads.fa -o counts -k 31
+
+Differences, deliberate:
+
+* ``--max-hits-per-kmer`` is actually honored (the reference parses it but the
+  worker never forwards it, so the Cython default 1000 always applied —
+  ``command_line_interface.py:173-174`` vs ``map_cpu:51``; default here is the
+  same 1000, so default behavior matches bit-for-bit).
+* boolean flags accept true/false strings but are parsed robustly (the
+  reference's ``type=bool`` makes any non-empty string truthy).
+* ``--gpu`` is accepted for drop-in compatibility and ignored: the accelerator
+  (TPU) is always used when present.
+* extra subcommand ``convert-index`` prebuilds the TPU table layout so large
+  indexes skip re-layout on every run.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+import numpy as np
+
+logging.basicConfig(
+    stream=sys.stdout, level=logging.INFO, format="%(asctime)s %(levelname)s: %(message)s"
+)
+logger = logging.getLogger(__name__)
+
+
+def _parse_bool(value) -> bool:
+    if isinstance(value, bool):
+        return value
+    return str(value).strip().lower() in ("1", "true", "yes", "y", "t")
+
+
+def main(argv=None):
+    run_argument_parser(sys.argv[1:] if argv is None else argv)
+
+
+def run_argument_parser(args):
+    parser = argparse.ArgumentParser(
+        description="TPU-native Kmer Mapper",
+        prog="kmer_mapper_tpu",
+        formatter_class=lambda prog: argparse.HelpFormatter(
+            prog, max_help_position=50, width=100
+        ),
+    )
+    subparsers = parser.add_subparsers()
+
+    sub = subparsers.add_parser("map", help="Map reads to a kmer index")
+    sub.add_argument("-i", "--kmer-index", required=False)
+    sub.add_argument("-b", "--index-bundle", required=False)
+    sub.add_argument(
+        "-f", "--reads", required=True, help="Reads in .fa, .fq, .fa.gz, or .fq.gz format"
+    )
+    sub.add_argument("-k", "--kmer-size", required=False, default=31, type=int)
+    sub.add_argument(
+        "-t",
+        "--n-threads",
+        required=False,
+        default=16,
+        type=int,
+        help="Host prefetch depth (device does the counting; kept for CLI parity)",
+    )
+    sub.add_argument(
+        "-c",
+        "--chunk-size",
+        required=False,
+        type=int,
+        default=2_500_000,
+        help="N bytes to process in each chunk",
+    )
+    sub.add_argument("-o", "--output-file", required=True)
+    sub.add_argument("-d", "--debug", required=False, default=False)
+    sub.add_argument(
+        "-I",
+        "--max-hits-per-kmer",
+        required=False,
+        default=1000,
+        type=int,
+        help="Ignore index kmers with more than this many hits in the index",
+    )
+    sub.add_argument(
+        "-g", "--gpu", default=False, help="Ignored (accelerator is used automatically)"
+    )
+    sub.add_argument(
+        "-s",
+        "--gpu-hash-map-size",
+        default=0,
+        type=int,
+        help="Ignored (table size is derived from the index at load time)",
+    )
+    sub.add_argument(
+        "-r",
+        "--map-reverse-complements",
+        default=False,
+        help="Also count kmers of the reverse complement of each read",
+    )
+    sub.add_argument(
+        "--accumulate",
+        default="scatter",
+        choices=["scatter", "sorted"],
+        help="On-device count accumulation strategy",
+    )
+    sub.set_defaults(func=_cmd_map)
+
+    conv = subparsers.add_parser(
+        "convert-index", help="Prebuild the TPU table layout from a reference .npz index"
+    )
+    conv.add_argument("-i", "--kmer-index", required=True)
+    conv.add_argument("-o", "--output-file", required=True)
+    conv.set_defaults(func=_cmd_convert_index)
+
+    if len(args) == 0:
+        parser.print_help()
+        sys.exit(1)
+    parsed = parser.parse_args(args)
+    if not hasattr(parsed, "func"):
+        parser.print_help()
+        sys.exit(1)
+    return parsed.func(parsed)
+
+
+def _resolve_index_arg(args):
+    """Reference index resolution precedence (``util.py:38-68``)."""
+    from .index.kmer_index import load_index
+
+    if args.kmer_index is None and args.index_bundle is None:
+        logger.error("Either a kmer index (-i) or an index bundle (-b) needs to be specified")
+        sys.exit(1)
+    return load_index(args.kmer_index if args.kmer_index is not None else args.index_bundle)
+
+
+def _cmd_map(args):
+    if _parse_bool(args.debug):
+        logging.getLogger().setLevel(logging.DEBUG)
+        logger.info("Will print debug log")
+    from . import pipeline
+
+    index = _resolve_index_arg(args)
+    node_counts = pipeline.map_file(
+        index,
+        args.reads,
+        k=args.kmer_size,
+        chunk_size=args.chunk_size,
+        max_frequency=args.max_hits_per_kmer,
+        map_reverse_complements=_parse_bool(args.map_reverse_complements),
+        accumulate=args.accumulate,
+        queue_depth=max(2, min(args.n_threads, 16)),
+    )
+    if args.output_file is None:
+        return node_counts
+    np.save(args.output_file, node_counts)
+    logger.info("Saved node counts to %s.npy", args.output_file)
+    return None
+
+
+def _cmd_convert_index(args):
+    from .index.kmer_index import load_index
+
+    index = load_index(args.kmer_index)
+    out = args.output_file
+    if not out.endswith(".npz"):
+        out += ".npz"
+    index.to_file(out)
+    logger.info(
+        "Wrote TPU index (%d unique kmers, %d buckets, max_probe %d) to %s",
+        index.n_unique,
+        index.table.n_buckets,
+        index.table.max_probe,
+        out,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,291 @@
+"""Host-side chunked FASTA/FASTQ readers.
+
+TPU-native replacement for the reference's bionumpy reader stack
+(``bnp.open(...).read_chunks(min_chunk_size=...)`` at
+``command_line_interface.py:102-111`` and the tuned ``open_file`` at
+``util.py:78-101``): raw bytes are read in blocks, records are framed with
+vectorized numpy newline scans, and partial trailing records are carried into
+the next block (the reference's ``set_prepend_mode`` semantics,
+``util.py:99-100``). Gzip decode stays on the host (zlib; the reference uses
+ISA-L igzip when present — see ``native/`` for the C++ fast path).
+
+Supported formats: FASTA (multi-line records) and FASTQ (4-line records),
+optionally gzipped; suffix-dispatched like ``util.open_file:78-95`` with a
+content sniff fallback.
+"""
+from __future__ import annotations
+
+import dataclasses
+import gzip
+import io
+import logging
+from typing import Iterator
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_NEWLINE = ord("\n")
+_CR = ord("\r")
+_FASTA_HEADER = ord(">")
+_FASTQ_HEADER = ord("@")
+_FASTQ_PLUS = ord("+")
+
+FASTA_SUFFIXES = (".fa", ".fasta", ".fna")
+FASTQ_SUFFIXES = (".fq", ".fastq")
+
+
+@dataclasses.dataclass
+class SequenceChunk:
+    """A batch of framed reads: concatenated bases + per-read start offsets."""
+
+    bases: np.ndarray  # uint8[n_bases]
+    read_starts: np.ndarray  # int64[n_reads] offsets into bases
+
+    @property
+    def n_bases(self) -> int:
+        return len(self.bases)
+
+    @property
+    def n_reads(self) -> int:
+        return len(self.read_starts)
+
+    @property
+    def read_lengths(self) -> np.ndarray:
+        if self.n_reads == 0:
+            return np.zeros(0, dtype=np.int64)
+        return np.diff(np.append(self.read_starts, self.n_bases))
+
+
+def detect_format(path: str, peek: bytes | None = None) -> str:
+    """'fasta' | 'fastq' from suffix, falling back to content sniffing."""
+    name = path.lower()
+    if name.endswith(".gz"):
+        name = name[: -len(".gz")]
+    for suffix in FASTA_SUFFIXES:
+        if name.endswith(suffix):
+            return "fasta"
+    for suffix in FASTQ_SUFFIXES:
+        if name.endswith(suffix):
+            return "fastq"
+    if peek:
+        if peek[:1] == b">":
+            return "fasta"
+        if peek[:1] == b"@":
+            return "fastq"
+    raise ValueError(f"cannot determine sequence format of {path}")
+
+
+def open_bytes(path: str) -> io.BufferedIOBase:
+    """Binary stream of (decompressed) file bytes."""
+    if str(path).endswith(".gz"):
+        return gzip.open(path, "rb")  # zlib; native igzip-class decode: native/
+    return open(path, "rb")
+
+
+def _gather_ragged(buf: np.ndarray, starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Concatenate buf[starts[i] : starts[i]+lengths[i]] without a Python loop."""
+    total = int(lengths.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.uint8)
+    out_starts = np.cumsum(lengths) - lengths
+    idx = np.arange(total, dtype=np.int64) - np.repeat(out_starts, lengths) + np.repeat(
+        starts, lengths
+    )
+    return buf[idx]
+
+
+def _line_table(buf: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(line_starts, line_ends) of complete (newline-terminated) lines;
+    ends exclude the newline and any preceding carriage return."""
+    nl = np.flatnonzero(buf == _NEWLINE)
+    starts = np.empty(len(nl), dtype=np.int64)
+    starts[0:1] = 0
+    starts[1:] = nl[:-1] + 1
+    ends = nl.copy()
+    has_cr = (ends > 0) & (buf[np.maximum(ends - 1, 0)] == _CR)
+    ends[has_cr] -= 1
+    return starts, ends
+
+
+class _FastaFramer:
+    """Frames complete FASTA records (multi-line sequences supported).
+
+    A record is complete when the next header (or EOF) is seen, so everything
+    from the last header onward is carried over between blocks."""
+
+    def frame(self, buf: np.ndarray, eof: bool) -> tuple[SequenceChunk, int]:
+        if len(buf) == 0:
+            return SequenceChunk(np.zeros(0, np.uint8), np.zeros(0, np.int64)), 0
+        true_len = len(buf)
+        if eof and buf[-1] != _NEWLINE:
+            buf = np.append(buf, np.uint8(_NEWLINE))  # final line may lack one
+        starts, ends = _line_table(buf)
+        if len(starts) == 0:
+            return SequenceChunk(np.zeros(0, np.uint8), np.zeros(0, np.int64)), 0
+        is_header = buf[starts] == _FASTA_HEADER
+        header_pos = np.flatnonzero(is_header)
+        if len(header_pos) == 0:
+            raise ValueError("FASTA block contains no record header ('>')")
+        if header_pos[0] != 0 or starts[0] != 0:
+            raise ValueError("FASTA input does not start with a record header")
+        if eof:
+            consume_line = len(starts)
+            consumed_bytes = true_len
+        else:
+            consume_line = int(header_pos[-1])  # lines strictly before last header
+            consumed_bytes = int(starts[consume_line])
+            header_pos = header_pos[:-1]
+        starts, ends, is_header = starts[:consume_line], ends[:consume_line], is_header[:consume_line]
+        if len(starts) == 0:
+            return SequenceChunk(np.zeros(0, np.uint8), np.zeros(0, np.int64)), consumed_bytes
+        # sequence lines belong to the most recent header
+        seq_mask = ~is_header
+        record_of_line = np.cumsum(is_header) - 1
+        lengths = ends - starts
+        seq_starts, seq_lens = starts[seq_mask], lengths[seq_mask]
+        bases = _gather_ragged(buf, seq_starts, seq_lens)
+        n_records = len(header_pos)
+        per_record = np.bincount(record_of_line[seq_mask], weights=seq_lens, minlength=n_records)
+        per_record = per_record.astype(np.int64)
+        read_starts = np.cumsum(per_record) - per_record
+        return SequenceChunk(bases, read_starts), consumed_bytes
+
+
+class _FastqFramer:
+    """Frames complete 4-line FASTQ records (header/sequence/plus/quality)."""
+
+    def frame(self, buf: np.ndarray, eof: bool) -> tuple[SequenceChunk, int]:
+        if len(buf) == 0:
+            return SequenceChunk(np.zeros(0, np.uint8), np.zeros(0, np.int64)), 0
+        true_len = len(buf)
+        if eof and buf[-1] != _NEWLINE:
+            buf = np.append(buf, np.uint8(_NEWLINE))  # final line may lack one
+        starts, ends = _line_table(buf)
+        n_records = len(starts) // 4
+        if eof and len(starts) % 4 != 0:
+            raise ValueError("truncated FASTQ record at end of file")
+        if n_records == 0:
+            return SequenceChunk(np.zeros(0, np.uint8), np.zeros(0, np.int64)), 0
+        consume_line = n_records * 4
+        if eof:
+            consumed_bytes = true_len
+        elif consume_line < len(starts):
+            consumed_bytes = int(starts[consume_line])
+        else:
+            # all complete lines consumed; a partial trailing line (if any)
+            # starts right after the last consumed newline and must be carried
+            nl = np.flatnonzero(buf == _NEWLINE)
+            consumed_bytes = int(nl[consume_line - 1]) + 1
+        head = starts[0 : consume_line : 4]
+        plus = starts[2 : consume_line : 4]
+        if not (buf[head] == _FASTQ_HEADER).all():
+            raise ValueError("malformed FASTQ: record header does not start with '@'")
+        if not (buf[plus] == _FASTQ_PLUS).all():
+            raise ValueError("malformed FASTQ: separator line does not start with '+'")
+        seq_starts = starts[1:consume_line:4]
+        seq_lens = ends[1:consume_line:4] - seq_starts
+        bases = _gather_ragged(buf, seq_starts, seq_lens)
+        read_starts = np.cumsum(seq_lens) - seq_lens
+        return SequenceChunk(bases, read_starts.astype(np.int64)), consumed_bytes
+
+
+def read_chunks(
+    path_or_stream,
+    fmt: str | None = None,
+    min_chunk_size: int = 2_500_000,
+) -> Iterator[SequenceChunk]:
+    """Stream framed chunks of ~min_chunk_size bytes with carry-over.
+
+    Mirrors ``bnp.open(path).read_chunks(min_chunk_size=chunk_size)``
+    (``command_line_interface.py:109-111``)."""
+    own = False
+    if isinstance(path_or_stream, (str, bytes)) or hasattr(path_or_stream, "__fspath__"):
+        stream = open_bytes(str(path_or_stream))
+        fmt = fmt or detect_format(str(path_or_stream))
+        own = True
+    else:
+        stream = path_or_stream
+        assert fmt is not None, "fmt required for stream input"
+    framer = _FastaFramer() if fmt == "fasta" else _FastqFramer()
+    leftover = b""
+    try:
+        while True:
+            block = stream.read(min_chunk_size)
+            eof = not block
+            data = leftover + block
+            buf = np.frombuffer(data, dtype=np.uint8)
+            chunk, consumed = framer.frame(buf, eof)
+            leftover = data[consumed:]
+            if chunk.n_reads:
+                yield chunk
+            if eof:
+                if leftover.strip():
+                    raise ValueError("trailing unframed data at end of file")
+                return
+    finally:
+        if own:
+            stream.close()
+
+
+def pack_for_device(
+    chunks: Iterator[SequenceChunk],
+    max_bases: int,
+    max_reads: int,
+    pad_k: int,
+) -> Iterator[tuple[np.ndarray, np.ndarray, int, int]]:
+    """Repack framed chunks into fixed-shape device buffers.
+
+    Yields (ascii uint8[max_bases + pad_k], read_starts int32[max_reads],
+    n_bases, n_reads); records are atomic and never split. The fixed shapes
+    let the XLA step compile once per run."""
+    pend_bases: list[np.ndarray] = []
+    pend_starts: list[np.ndarray] = []
+    pend_nb = 0
+    pend_nr = 0
+
+    def emit():
+        nonlocal pend_bases, pend_starts, pend_nb, pend_nr
+        ascii_buf = np.full(max_bases + pad_k, ord("A"), dtype=np.uint8)
+        if pend_bases:
+            np.concatenate(pend_bases, out=ascii_buf[:pend_nb])
+        starts = np.full(max_reads, max_bases + pad_k, dtype=np.int32)
+        if pend_starts:
+            starts[:pend_nr] = np.concatenate(pend_starts)
+        out = (ascii_buf, starts, pend_nb, pend_nr)
+        pend_bases, pend_starts, pend_nb, pend_nr = [], [], 0, 0
+        return out
+
+    for chunk in chunks:
+        offset = 0  # record index consumed within this chunk
+        starts_all = chunk.read_starts
+        lengths = chunk.read_lengths
+        if chunk.n_reads and int(lengths.max()) > max_bases:
+            raise ValueError(
+                f"read of {int(lengths.max())} bases exceeds device buffer "
+                f"({max_bases}); increase --chunk-size"
+            )
+        while offset < chunk.n_reads:
+            space_b = max_bases - pend_nb
+            space_r = max_reads - pend_nr
+            if space_r == 0 or lengths[offset] > space_b:
+                yield emit()
+                continue
+            # how many whole records fit
+            cum = np.cumsum(lengths[offset:])
+            n_fit = int(np.searchsorted(cum, space_b, side="right"))
+            n_fit = min(n_fit, space_r)
+            if n_fit == 0:
+                yield emit()
+                continue
+            lo = int(starts_all[offset])
+            hi = int(starts_all[offset + n_fit]) if offset + n_fit < chunk.n_reads else chunk.n_bases
+            pend_bases.append(chunk.bases[lo:hi])
+            pend_starts.append(
+                (starts_all[offset : offset + n_fit] - lo + pend_nb).astype(np.int32)
+            )
+            pend_nb += hi - lo
+            pend_nr += n_fit
+            offset += n_fit
+    if pend_nr:
+        yield emit()

@@ -1,0 +1,189 @@
+"""End-to-end mapping pipeline: file -> framed chunks -> device step -> node counts.
+
+The driver equivalent of the reference's ``map_bnp``
+(``kmer_mapper/command_line_interface.py:82-152``), restructured for TPU:
+
+* The reference's process-pool + POSIX-shared-memory map-reduce
+  (``additative_shared_array_map_reduce``, ``:124-130``) becomes a host
+  producer thread (read + frame + pack into fixed-shape pinned buffers) feeding
+  an asynchronously-dispatched jitted device step through a bounded queue —
+  the same producer/consumer backpressure (queue_size_factor) without IPC,
+  since the "reduce" is an on-device accumulator.
+* All shapes are static, so the step compiles once and chunk N+1's host work
+  overlaps chunk N's device work (JAX dispatch is async).
+"""
+from __future__ import annotations
+
+import logging
+import os
+import queue
+import threading
+import time
+from typing import Iterable, Iterator
+
+import numpy as np
+
+from .index.kmer_index import TpuKmerIndex, load_index
+from .io import readers
+from .models.mapper import KmerMapper, MapperConfig
+from .utils.timing import log_memory_usage_now, span
+
+logger = logging.getLogger(__name__)
+
+#: rough size multiplier for progress estimation of gzipped input
+#: (reference heuristic, command_line_interface.py:92-93)
+GZIP_EXPANSION = 6.5
+
+
+def _producer(chunk_iter: Iterator, out_queue: queue.Queue, stop: threading.Event):
+    try:
+        for item in chunk_iter:
+            while not stop.is_set():
+                try:
+                    out_queue.put(item, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
+            if stop.is_set():
+                return
+        out_queue.put(None)
+    except BaseException as exc:  # surface reader errors on the consumer side
+        out_queue.put(exc)
+
+
+def prefetch(iterator: Iterator, depth: int = 4) -> Iterator:
+    """Run an iterator in a background thread with bounded lookahead
+    (the host-side analog of the reference's queue_size_factor backpressure)."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+    thread = threading.Thread(target=_producer, args=(iterator, q, stop), daemon=True)
+    thread.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+
+
+def map_file(
+    index: TpuKmerIndex | str,
+    reads_path: str,
+    k: int = 31,
+    chunk_size: int = 2_500_000,
+    max_frequency: int = 1000,
+    map_reverse_complements: bool = False,
+    accumulate: str = "scatter",
+    queue_depth: int = 4,
+    progress: bool = True,
+    device=None,
+) -> np.ndarray:
+    """Map all k-mers of a FASTA/FASTQ(.gz) file against the index; returns the
+    per-node hit-count vector (uint32[max_node_id+1]).
+
+    CLI/driver parity: ``map_bnp`` (``command_line_interface.py:82-152``)."""
+    t_start = time.perf_counter()
+    index = load_index(index)
+    mapper, packed = make_mapper_and_chunks(
+        index,
+        reads_path,
+        k=k,
+        chunk_size=chunk_size,
+        map_reverse_complements=map_reverse_complements,
+        accumulate=accumulate,
+        device=device,
+    )
+
+    n_bytes = os.stat(reads_path).st_size
+    if reads_path.endswith(".gz"):
+        n_bytes = int(n_bytes * GZIP_EXPANSION)
+    approx_chunks = max(1, n_bytes // chunk_size)
+    logger.info("N bytes of reads: %d (~%d chunks)", n_bytes, approx_chunks)
+
+    t_map = time.perf_counter()
+    n_chunks = 0
+    for ascii_buf, starts, n_bases, n_reads in prefetch(packed, depth=queue_depth):
+        mapper.map_chunk(ascii_buf, starts, n_bases)
+        n_chunks += 1
+        if progress and n_chunks % 50 == 0:
+            logger.info(
+                "chunk %d/~%d (%.1f%%), %d kmers mapped",
+                n_chunks,
+                approx_chunks,
+                100 * min(1.0, n_chunks / approx_chunks),
+                mapper.n_kmers_mapped,
+            )
+    logger.info(
+        "Time spent only on hashing and counting hashes: %.4f",
+        time.perf_counter() - t_map,
+    )
+    if mapper.n_invalid_bases:
+        logger.warning(
+            "%d invalid (non-ACGTN) bases were encoded as A", mapper.n_invalid_bases
+        )
+    with span("node count finalization", logging.INFO):
+        node_counts = mapper.node_counts(max_frequency=max_frequency)
+    log_memory_usage_now("after mapping")
+    logger.info(
+        "Mapped %d kmers from %d chunks in %.3f sec total",
+        mapper.n_kmers_mapped,
+        n_chunks,
+        time.perf_counter() - t_start,
+    )
+    return node_counts
+
+
+def make_mapper_and_chunks(
+    index: TpuKmerIndex,
+    reads_path: str,
+    k: int,
+    chunk_size: int,
+    map_reverse_complements: bool,
+    accumulate: str,
+    device=None,
+) -> tuple[KmerMapper, Iterable]:
+    """Build the device mapper plus the packed host chunk iterator."""
+    buf = _round_up(max(chunk_size, 1 << 16), 1 << 13)
+    config = MapperConfig(
+        k=k,
+        buf=buf,
+        max_reads=max(1024, buf // 32),
+        revcomp=map_reverse_complements,
+        accumulate=accumulate,
+    )
+    mapper = KmerMapper(index, config, device=device)
+    chunks = readers.read_chunks(reads_path, min_chunk_size=chunk_size)
+    packed = readers.pack_for_device(chunks, config.buf, config.max_reads, config.k)
+    return mapper, packed
+
+
+def map_sequences(
+    index: TpuKmerIndex,
+    sequences: list[str],
+    k: int = 31,
+    max_frequency: int = 1000,
+    **kwargs,
+) -> np.ndarray:
+    """Programmatic API: map in-memory sequences (library parity with calling
+    ``map_bnp`` with an in-memory index + small input)."""
+    flat = "".join(sequences)
+    chunk = readers.SequenceChunk(
+        bases=np.frombuffer(flat.encode(), dtype=np.uint8),
+        read_starts=(np.cumsum([0] + [len(s) for s in sequences[:-1]])).astype(np.int64),
+    )
+    buf = _round_up(max(len(flat), 1 << 10), 1 << 10)
+    config = MapperConfig(k=k, buf=buf, max_reads=max(16, len(sequences)), **kwargs)
+    mapper = KmerMapper(index, config)
+    for ascii_buf, starts, n_bases, _ in readers.pack_for_device(
+        iter([chunk]), config.buf, config.max_reads, config.k
+    ):
+        mapper.map_chunk(ascii_buf, starts, n_bases)
+    return mapper.node_counts(max_frequency=max_frequency)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m

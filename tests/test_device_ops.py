@@ -1,0 +1,185 @@
+"""Device ops vs numpy oracle: bit-exact encode/hash/probe/count on the JAX path."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kmer_mapper_tpu import oracle
+from kmer_mapper_tpu.index import kmer_index as ki
+from kmer_mapper_tpu.index import layout
+from kmer_mapper_tpu.models.mapper import KmerMapper, MapperConfig
+from kmer_mapper_tpu.ops import encode, hashing, probe
+from kmer_mapper_tpu.ops.u32hash import join_u64, mix64, split_u64
+
+
+def test_encode_matches_oracle():
+    ascii_bytes = np.frombuffer(b"ACGTacgtNnACGT", dtype=np.uint8)
+    codes, invalid = encode.encode_bases(jnp.asarray(ascii_bytes))
+    np.testing.assert_array_equal(np.asarray(codes), oracle.encode_bytes(ascii_bytes))
+    assert int(invalid.sum()) == 0
+    bad = np.frombuffer(b"AXG", dtype=np.uint8)
+    codes, invalid = encode.encode_bases(jnp.asarray(bad))
+    np.testing.assert_array_equal(np.asarray(invalid), [0, 1, 0])
+
+
+def test_mix64_numpy_jax_identical():
+    rng = np.random.default_rng(0)
+    vals = rng.integers(0, 1 << 62, 1000, dtype=np.uint64)
+    lo, hi = split_u64(vals)
+    a = mix64(lo, hi, seed=7, xp=np)
+    b = np.asarray(mix64(jnp.asarray(lo), jnp.asarray(hi), seed=7, xp=jnp))
+    np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("k", [1, 4, 16, 17, 31])
+def test_rolling_hash_matches_oracle(k):
+    rng = np.random.default_rng(k)
+    codes = rng.integers(0, 4, 300).astype(np.uint8)
+    padded = np.concatenate([codes, np.zeros(k, dtype=np.uint8)]).astype(np.uint32)
+    lo, hi = hashing.rolling_kmer_hash(jnp.asarray(padded), k)
+    got = join_u64(np.asarray(lo), np.asarray(hi))
+    expect = oracle.kmer_hashes(codes, k)
+    np.testing.assert_array_equal(got[: len(expect)], expect)
+
+
+@pytest.mark.parametrize("k", [2, 16, 31])
+def test_rolling_revcomp_hash_matches_oracle(k):
+    rng = np.random.default_rng(k + 50)
+    codes = rng.integers(0, 4, 200).astype(np.uint8)
+    padded = np.concatenate([codes, np.zeros(k, dtype=np.uint8)]).astype(np.uint32)
+    lo, hi = hashing.rolling_revcomp_hash(jnp.asarray(padded), k)
+    got = join_u64(np.asarray(lo), np.asarray(hi))
+    expect = oracle.revcomp_hash(oracle.kmer_hashes(codes, k), k)
+    np.testing.assert_array_equal(got[: len(expect)], expect)
+
+
+def test_window_mask_ragged():
+    k, buf = 4, 32
+    lengths = [6, 3, 10, 4]  # read of 3 < k yields no windows
+    starts = np.cumsum([0] + lengths[:-1]).astype(np.int32)
+    n_bases = sum(lengths)
+    starts_padded = np.full(8, buf + k, dtype=np.int32)
+    starts_padded[: len(starts)] = starts
+    mask = np.asarray(hashing.window_mask(jnp.asarray(starts_padded), jnp.int32(n_bases), k, buf))
+    expect = np.zeros(buf, dtype=bool)
+    for s, ln in zip(starts, lengths):
+        expect[s : s + max(0, ln - k + 1)] = True
+    np.testing.assert_array_equal(mask, expect)
+
+
+def test_probe_matches_host_query():
+    rng = np.random.default_rng(3)
+    keys = np.unique(rng.integers(0, 1 << 62, 4000, dtype=np.uint64))
+    table = layout.build_table(keys)
+    queries = np.concatenate([keys[:500], rng.integers(0, 1 << 62, 500, dtype=np.uint64)])
+    qlo, qhi = split_u64(queries)
+    got = np.asarray(
+        probe.probe_slots(
+            jnp.asarray(table.key_lo),
+            jnp.asarray(table.key_hi),
+            jnp.asarray(qlo),
+            jnp.asarray(qhi),
+            table.max_probe,
+            table.seed,
+        )
+    )
+    expect = layout.query_table(table, queries)
+    np.testing.assert_array_equal(got, expect)
+
+
+@pytest.mark.parametrize("method", ["scatter", "sorted"])
+def test_accumulators_match_bincount(method):
+    rng = np.random.default_rng(4)
+    n_slots = 64
+    slots = rng.integers(-1, n_slots, 1000).astype(np.int32)
+    valid = rng.random(1000) < 0.8
+    counts0 = rng.integers(0, 5, n_slots).astype(np.uint32)
+    got = np.asarray(
+        probe.ACCUMULATORS[method](jnp.asarray(counts0), jnp.asarray(slots), jnp.asarray(valid))
+    )
+    keep = valid & (slots >= 0)
+    expect = counts0 + np.bincount(slots[keep], minlength=n_slots).astype(np.uint32)
+    np.testing.assert_array_equal(got, expect)
+
+
+def _frame_reads(reads: list[str], buf: int, max_reads: int, k: int):
+    flat = "".join(reads)
+    ascii_buf = np.full(buf + k, ord("A"), dtype=np.uint8)
+    ascii_buf[: len(flat)] = np.frombuffer(flat.encode(), dtype=np.uint8)
+    starts = np.full(max_reads, buf + k, dtype=np.int32)
+    starts[: len(reads)] = np.cumsum([0] + [len(r) for r in reads[:-1]])
+    return ascii_buf, starts, len(flat)
+
+
+@pytest.mark.parametrize("accumulate", ["scatter", "sorted"])
+def test_full_chunk_step_matches_oracle(accumulate):
+    rng = np.random.default_rng(5)
+    k = 7
+    # index built from kmers occurring in synthetic reads plus extras
+    reads = ["".join(rng.choice(list("ACGT"), rng.integers(4, 40))) for _ in range(60)]
+    read_codes = [oracle.encode_string(r) for r in reads]
+    read_kmers = np.concatenate(
+        [oracle.kmer_hashes(c, k) for c in read_codes if len(c) >= k]
+    )
+    entry_kmers = np.concatenate(
+        [rng.choice(read_kmers, 80), rng.integers(0, 4**k, 40, dtype=np.uint64)]
+    )
+    nodes = rng.integers(0, 50, len(entry_kmers)).astype(np.int32)
+    arrays = oracle.build_kmer_index(entry_kmers, nodes, 251)
+    tpu = ki.TpuKmerIndex.from_arrays(arrays)
+
+    config = MapperConfig(k=k, buf=2048, max_reads=128, accumulate=accumulate)
+    mapper = KmerMapper(tpu, config)
+    ascii_buf, starts, n_bases = _frame_reads(reads, config.buf, config.max_reads, k)
+    mapper.map_chunk(ascii_buf, starts, n_bases)
+    got = mapper.node_counts()
+
+    oracle_kmers = oracle.kmer_hashes_ragged(
+        np.concatenate(read_codes), np.array([len(r) for r in reads]), k
+    )
+    expect = oracle.map_kmers_to_index(arrays, oracle_kmers)
+    np.testing.assert_array_equal(got, expect)
+    assert mapper.n_kmers_mapped == len(oracle_kmers)
+
+
+def test_chunk_step_revcomp():
+    rng = np.random.default_rng(6)
+    k = 5
+    reads = ["".join(rng.choice(list("ACGT"), 20)) for _ in range(20)]
+    read_codes = [oracle.encode_string(r) for r in reads]
+    fwd = np.concatenate([oracle.kmer_hashes(c, k) for c in read_codes])
+    entry_kmers = rng.choice(np.concatenate([fwd, oracle.revcomp_hash(fwd, k)]), 60)
+    nodes = np.arange(len(entry_kmers), dtype=np.int32)
+    arrays = oracle.build_kmer_index(entry_kmers, nodes, 499)
+    tpu = ki.TpuKmerIndex.from_arrays(arrays)
+
+    config = MapperConfig(k=k, buf=1024, max_reads=64, revcomp=True)
+    mapper = KmerMapper(tpu, config)
+    ascii_buf, starts, n_bases = _frame_reads(reads, config.buf, config.max_reads, k)
+    mapper.map_chunk(ascii_buf, starts, n_bases)
+    got = mapper.node_counts()
+
+    queries = np.concatenate([fwd, oracle.revcomp_hash(fwd, k)])
+    expect = oracle.map_kmers_to_index(arrays, queries)
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_map_hashes_counter_parity():
+    rng = np.random.default_rng(7)
+    keys = np.unique(rng.integers(0, 1 << 62, 500, dtype=np.uint64))
+    tpu = ki.TpuKmerIndex.from_counter_keys(keys)
+    mapper = KmerMapper(tpu, MapperConfig(k=31, buf=256, max_reads=16))
+    queries = np.concatenate([rng.choice(keys, 2000), rng.integers(0, 1 << 62, 300, dtype=np.uint64)])
+    mapper.map_hashes(queries)
+    got_kmers, got_counts = mapper.kmer_counts()
+    expect = oracle.count_unique_kmers(got_kmers, queries)
+    np.testing.assert_array_equal(got_counts, expect)
+
+
+def test_invalid_base_tracking():
+    tpu = ki.TpuKmerIndex.from_counter_keys(np.array([1, 2, 3], dtype=np.uint64))
+    config = MapperConfig(k=3, buf=64, max_reads=8)
+    mapper = KmerMapper(tpu, config)
+    reads = ["ACGXGA"]  # one invalid byte
+    ascii_buf, starts, n_bases = _frame_reads(reads, config.buf, config.max_reads, config.k)
+    mapper.map_chunk(ascii_buf, starts, n_bases)
+    assert mapper.n_invalid_bases == 1

@@ -1,0 +1,120 @@
+"""Host I/O tests: FASTA/FASTQ framing, gzip, carry-over, device packing."""
+import gzip
+
+import numpy as np
+import pytest
+
+from kmer_mapper_tpu.io import readers
+
+
+def _write(tmp_path, name, text, gz=False):
+    path = tmp_path / name
+    data = text.encode()
+    if gz:
+        with gzip.open(path, "wb") as f:
+            f.write(data)
+    else:
+        path.write_bytes(data)
+    return str(path)
+
+
+def _collect(path, **kw):
+    seqs = []
+    for chunk in readers.read_chunks(path, **kw):
+        ends = np.append(chunk.read_starts[1:], chunk.n_bases)
+        for s, e in zip(chunk.read_starts, ends):
+            seqs.append(bytes(chunk.bases[s:e]).decode())
+    return seqs
+
+
+def test_fasta_two_line(tmp_path):
+    path = _write(tmp_path, "x.fa", ">r1\nACGT\n>r2\nTTGACA\n")
+    assert _collect(path) == ["ACGT", "TTGACA"]
+
+
+def test_fasta_multiline_and_no_trailing_newline(tmp_path):
+    path = _write(tmp_path, "x.fa", ">r1\nACGT\nTTAA\nCC\n>r2\nGG")
+    assert _collect(path) == ["ACGTTTAACC", "GG"]
+
+
+def test_fasta_crlf(tmp_path):
+    path = _write(tmp_path, "x.fa", ">r1\r\nACGT\r\n>r2\r\nTT\r\n")
+    assert _collect(path) == ["ACGT", "TT"]
+
+
+def test_fasta_chunked_carry_over(tmp_path):
+    # tiny min_chunk_size forces records to straddle block boundaries
+    seqs = ["ACGTACGTAC", "TT", "GGGAAACCCTTTGGG", "A" * 50, "CGCG"]
+    text = "".join(f">r{i}\n{s}\n" for i, s in enumerate(seqs))
+    path = _write(tmp_path, "x.fa", text)
+    for block in (4, 7, 16, 64):
+        assert _collect(path, min_chunk_size=block) == seqs
+
+
+def test_fastq(tmp_path):
+    text = "@r1\nACGT\n+\n!!!!\n@r2\nTTGA\n+r2\nIIII\n"
+    path = _write(tmp_path, "x.fq", text)
+    assert _collect(path) == ["ACGT", "TTGA"]
+
+
+def test_fastq_chunked_and_gzipped(tmp_path):
+    rng = np.random.default_rng(0)
+    seqs = ["".join(rng.choice(list("ACGT"), rng.integers(20, 80))) for _ in range(100)]
+    text = "".join(f"@read{i}\n{s}\n+\n{'I' * len(s)}\n" for i, s in enumerate(seqs))
+    path = _write(tmp_path, "x.fq.gz", text, gz=True)
+    for block in (97, 1024):
+        assert _collect(path, min_chunk_size=block) == seqs
+
+
+def test_fasta_gzipped(tmp_path):
+    path = _write(tmp_path, "x.fa.gz", ">a\nACGTAC\n>b\nGGTT\n", gz=True)
+    assert _collect(path) == ["ACGTAC", "GGTT"]
+
+
+def test_fastq_truncated_raises(tmp_path):
+    path = _write(tmp_path, "x.fq", "@r1\nACGT\n+\n!!!!\n@r2\nACGT\n")
+    with pytest.raises(ValueError, match="truncated FASTQ"):
+        _collect(path)
+
+
+def test_fastq_malformed_header_raises(tmp_path):
+    path = _write(tmp_path, "x.fq", "r1\nACGT\n+\n!!!!\n")
+    with pytest.raises(ValueError, match="FASTQ"):
+        _collect(path)
+
+
+def test_detect_format():
+    assert readers.detect_format("x.fa") == "fasta"
+    assert readers.detect_format("x.fasta.gz") == "fasta"
+    assert readers.detect_format("x.fq.gz") == "fastq"
+    assert readers.detect_format("x.fastq") == "fastq"
+    assert readers.detect_format("x.bin", peek=b">abc") == "fasta"
+    assert readers.detect_format("x.bin", peek=b"@abc") == "fastq"
+    with pytest.raises(ValueError):
+        readers.detect_format("x.bin", peek=b"junk")
+
+
+def test_pack_for_device_shapes_and_content(tmp_path):
+    rng = np.random.default_rng(1)
+    seqs = ["".join(rng.choice(list("ACGT"), rng.integers(5, 60))) for _ in range(200)]
+    text = "".join(f">r{i}\n{s}\n" for i, s in enumerate(seqs))
+    path = _write(tmp_path, "x.fa", text)
+    max_bases, max_reads, k = 512, 32, 31
+    got = []
+    for ascii_buf, starts, n_bases, n_reads in readers.pack_for_device(
+        readers.read_chunks(path, min_chunk_size=300), max_bases, max_reads, k
+    ):
+        assert ascii_buf.shape == (max_bases + k,)
+        assert starts.shape == (max_reads,)
+        assert n_bases <= max_bases and n_reads <= max_reads
+        assert (starts[n_reads:] >= max_bases + k).all()
+        ends = np.append(starts[:n_reads][1:], n_bases)
+        for s, e in zip(starts[:n_reads], ends):
+            got.append(bytes(ascii_buf[s:e]).decode())
+    assert got == seqs
+
+
+def test_pack_for_device_read_too_long(tmp_path):
+    path = _write(tmp_path, "x.fa", ">r\n" + "A" * 100 + "\n")
+    with pytest.raises(ValueError, match="exceeds device buffer"):
+        list(readers.pack_for_device(readers.read_chunks(path), 50, 8, 31))

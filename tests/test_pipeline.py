@@ -1,0 +1,175 @@
+"""End-to-end pipeline + CLI tests: file -> node counts, bit-exact vs oracle."""
+import gzip
+
+import numpy as np
+import pytest
+
+from kmer_mapper_tpu import oracle, pipeline
+from kmer_mapper_tpu.cli import run_argument_parser
+from kmer_mapper_tpu.index import kmer_index as ki
+
+
+def _make_reads(rng, n=120, lo=20, hi=90):
+    return ["".join(rng.choice(list("ACGT"), rng.integers(lo, hi))) for _ in range(n)]
+
+
+def _oracle_counts(arrays, reads, k, max_frequency=1000, revcomp=False):
+    codes = [oracle.encode_string(r.upper().replace("N", "A")) for r in reads]
+    hashes = oracle.kmer_hashes_ragged(
+        np.concatenate(codes), np.array([len(c) for c in codes]), k
+    )
+    if revcomp:
+        hashes = np.concatenate([hashes, oracle.revcomp_hash(hashes, k)])
+    return oracle.map_kmers_to_index(arrays, hashes, max_frequency=max_frequency)
+
+
+def _index_from_reads(rng, reads, k, n_nodes=80, extra=50):
+    codes = [oracle.encode_string(r) for r in reads]
+    read_kmers = oracle.kmer_hashes_ragged(
+        np.concatenate(codes), np.array([len(c) for c in codes]), k
+    )
+    mask = np.uint64(4**k - 1) if k < 32 else np.uint64(-1)
+    entry_kmers = np.concatenate(
+        [
+            rng.choice(read_kmers, 150),
+            rng.integers(0, 1 << 62, extra, dtype=np.uint64) & mask,
+        ]
+    )
+    nodes = rng.integers(0, n_nodes, len(entry_kmers)).astype(np.int32)
+    return oracle.build_kmer_index(entry_kmers, nodes, 997)
+
+
+def _write_fasta(path, reads):
+    path.write_text("".join(f">r{i}\n{s}\n" for i, s in enumerate(reads)))
+    return str(path)
+
+
+@pytest.mark.parametrize("k", [5, 31])
+def test_map_file_fasta_matches_oracle(tmp_path, k):
+    rng = np.random.default_rng(k)
+    reads = _make_reads(rng)
+    arrays = _index_from_reads(rng, reads, k)
+    reads_path = _write_fasta(tmp_path / "reads.fa", reads)
+    got = pipeline.map_file(
+        ki.TpuKmerIndex.from_arrays(arrays), reads_path, k=k, chunk_size=1 << 14
+    )
+    np.testing.assert_array_equal(got, _oracle_counts(arrays, reads, k))
+
+
+def test_map_file_small_chunks_many_buffers(tmp_path):
+    """Tiny chunk size forces many device buffers + carry-over paths."""
+    k = 11
+    rng = np.random.default_rng(99)
+    reads = _make_reads(rng, n=300)
+    arrays = _index_from_reads(rng, reads, k)
+    reads_path = _write_fasta(tmp_path / "reads.fa", reads)
+    got = pipeline.map_file(
+        ki.TpuKmerIndex.from_arrays(arrays), reads_path, k=k, chunk_size=1 << 16
+    )
+    np.testing.assert_array_equal(got, _oracle_counts(arrays, reads, k))
+
+
+def test_map_file_fastq_gz_with_n_bases(tmp_path):
+    k = 7
+    rng = np.random.default_rng(7)
+    reads = _make_reads(rng, n=80)
+    # sprinkle N's: they must count as A (reference N->A substitution)
+    reads = [r[:3] + "N" + r[4:] if len(r) > 5 else r for r in reads]
+    arrays = _index_from_reads(rng, [r.replace("N", "A") for r in reads], k)
+    path = tmp_path / "reads.fq.gz"
+    with gzip.open(path, "wt") as f:
+        f.write("".join(f"@r{i}\n{s}\n+\n{'I' * len(s)}\n" for i, s in enumerate(reads)))
+    got = pipeline.map_file(
+        ki.TpuKmerIndex.from_arrays(arrays), str(path), k=k, chunk_size=1 << 14
+    )
+    np.testing.assert_array_equal(got, _oracle_counts(arrays, reads, k))
+
+
+def test_map_file_revcomp(tmp_path):
+    k = 9
+    rng = np.random.default_rng(11)
+    reads = _make_reads(rng, n=60)
+    arrays = _index_from_reads(rng, reads, k)
+    reads_path = _write_fasta(tmp_path / "reads.fa", reads)
+    got = pipeline.map_file(
+        ki.TpuKmerIndex.from_arrays(arrays),
+        reads_path,
+        k=k,
+        chunk_size=1 << 14,
+        map_reverse_complements=True,
+    )
+    np.testing.assert_array_equal(got, _oracle_counts(arrays, reads, k, revcomp=True))
+
+
+def test_map_sequences_programmatic():
+    k = 5
+    rng = np.random.default_rng(13)
+    reads = _make_reads(rng, n=30)
+    arrays = _index_from_reads(rng, reads, k)
+    got = pipeline.map_sequences(ki.TpuKmerIndex.from_arrays(arrays), reads, k=k)
+    np.testing.assert_array_equal(got, _oracle_counts(arrays, reads, k))
+
+
+def test_cli_map_end_to_end(tmp_path):
+    k = 7
+    rng = np.random.default_rng(17)
+    reads = _make_reads(rng, n=50)
+    arrays = _index_from_reads(rng, reads, k)
+    index_path = tmp_path / "index.npz"
+    ki.save_reference_npz(index_path, arrays)
+    reads_path = _write_fasta(tmp_path / "reads.fa", reads)
+    out = tmp_path / "counts"
+    run_argument_parser(
+        ["map", "-i", str(index_path), "-f", reads_path, "-o", str(out), "-k", str(k)]
+    )
+    got = np.load(str(out) + ".npy")
+    np.testing.assert_array_equal(got, _oracle_counts(arrays, reads, k))
+
+
+def test_cli_convert_index_then_map(tmp_path):
+    k = 7
+    rng = np.random.default_rng(19)
+    reads = _make_reads(rng, n=40)
+    arrays = _index_from_reads(rng, reads, k)
+    ref_path = tmp_path / "index.npz"
+    ki.save_reference_npz(ref_path, arrays)
+    tpu_path = tmp_path / "index.tpuidx.npz"
+    run_argument_parser(["convert-index", "-i", str(ref_path), "-o", str(tpu_path)])
+    reads_path = _write_fasta(tmp_path / "reads.fa", reads)
+    out = tmp_path / "counts"
+    run_argument_parser(
+        ["map", "-i", str(tpu_path), "-f", reads_path, "-o", str(out), "-k", str(k)]
+    )
+    got = np.load(str(out) + ".npy")
+    np.testing.assert_array_equal(got, _oracle_counts(arrays, reads, k))
+
+
+def test_cli_max_hits_per_kmer_flag(tmp_path):
+    k = 5
+    kmers = np.array([7, 9], dtype=np.uint64)
+    nodes = np.array([0, 1], dtype=np.int32)
+    arrays = oracle.build_kmer_index(kmers, nodes, 101, frequencies=np.array([1, 1001]))
+    index_path = tmp_path / "index.npz"
+    ki.save_reference_npz(index_path, arrays)
+    # read whose kmers are exactly the two index kmers
+    seq = oracle.decode_to_string(
+        [(7 >> (2 * i)) & 3 for i in range(k)]
+    )
+    seq2 = oracle.decode_to_string([(9 >> (2 * i)) & 3 for i in range(k)])
+    reads_path = _write_fasta(tmp_path / "reads.fa", [seq, seq2])
+    out = tmp_path / "counts"
+    run_argument_parser(
+        ["map", "-i", str(index_path), "-f", reads_path, "-o", str(out), "-k", str(k)]
+    )
+    np.testing.assert_array_equal(np.load(str(out) + ".npy"), [1, 0])
+    run_argument_parser(
+        ["map", "-i", str(index_path), "-f", reads_path, "-o", str(out), "-k", str(k),
+         "-I", "2000"]
+    )
+    np.testing.assert_array_equal(np.load(str(out) + ".npy"), [1, 1])
+
+
+def test_cli_requires_index(tmp_path, capsys):
+    reads_path = _write_fasta(tmp_path / "r.fa", ["ACGT"])
+    with pytest.raises(SystemExit):
+        run_argument_parser(["map", "-f", reads_path, "-o", str(tmp_path / "o")])
