@@ -1,0 +1,136 @@
+"""Benchmark: k-mers hashed + looked-up per second per chip.
+
+Runs the full device chunk step (unpack -> rolling hash -> cuckoo probe ->
+count accumulate) on synthetic 151 bp reads at k=31 against a synthetic index,
+steady-state, on whatever accelerator JAX provides (the driver runs this on a
+real TPU chip). Host->device traffic is 2-bit packed (4x less than ASCII).
+The hot loop never synchronizes with the host; timing fetches a count at the
+end only. The baseline is the reference CPU path's semantics measured as the
+vectorized numpy oracle on this host, scaled to the reference's default 16
+worker threads (``command_line_interface.py:168``) — the reference publishes
+no numbers of its own (BASELINE.md).
+
+Prints exactly ONE JSON line to stdout; diagnostics go to stderr.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+K = 31
+READ_LEN = 151
+BUF = 4 << 20  # 4 Mi bases per chunk
+N_UNIQUE = 4_000_000
+N_STEPS = 30
+BASELINE_SAMPLE_BASES = 2 << 20
+
+
+def make_read_chunk(rng, n_bases):
+    from kmer_mapper_tpu.io.readers import SequenceChunk
+
+    bases = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), n_bases)
+    n_reads = n_bases // READ_LEN
+    starts = np.arange(n_reads, dtype=np.int64) * READ_LEN
+    return SequenceChunk(bases=bases[: n_reads * READ_LEN], read_starts=starts)
+
+
+def main():
+    t0 = time.perf_counter()
+    import jax
+
+    from kmer_mapper_tpu import oracle
+    from kmer_mapper_tpu.index import kmer_index as ki
+    from kmer_mapper_tpu.io.readers import pack_for_device
+    from kmer_mapper_tpu.models.mapper import KmerMapper, MapperConfig
+
+    dev = jax.devices()[0]
+    log(f"device: {dev} ({dev.platform})")
+    rng = np.random.default_rng(0)
+
+    # --- synthetic data: index keys drawn ~50% from actual read kmers -------
+    chunks = [make_read_chunk(rng, BUF) for _ in range(3)]
+    t = time.perf_counter()
+    sample_codes = oracle.encode_bytes(chunks[0].bases[: READ_LEN * 5000])
+    sample_kmers = oracle.kmer_hashes(sample_codes, K)
+    entry_kmers = np.unique(
+        np.concatenate(
+            [
+                rng.integers(0, 1 << 62, N_UNIQUE // 2, dtype=np.uint64),
+                rng.choice(sample_kmers, N_UNIQUE // 2),
+            ]
+        )
+    )
+    nodes = rng.integers(0, 3_000_000, len(entry_kmers)).astype(np.int32)
+    index = ki.TpuKmerIndex.from_entries(entry_kmers, nodes)
+    log(
+        f"index: {index.n_unique} unique kmers, {index.table.n_buckets} buckets, "
+        f"table {index.table.nbytes / 1e6:.0f} MB, built in {time.perf_counter() - t:.1f}s"
+    )
+
+    results = {}
+    for accumulate in ("scatter", "sorted", "rowscatter"):
+        config = MapperConfig(k=K, buf=BUF, max_reads=BUF // 64, accumulate=accumulate)
+        mapper = KmerMapper(index, config)
+        packed = [
+            next(iter(pack_for_device(iter([c]), config.buf, config.max_reads, K)))
+            for c in chunks
+        ]
+        # warmup / compile
+        t = time.perf_counter()
+        mapper.map_chunk(*packed[0][:3])
+        _ = mapper.n_kmers_mapped  # force execution
+        log(f"[{accumulate}] compile+first step: {time.perf_counter() - t:.1f}s")
+        # steady state: async feed, one sync at the end
+        before = mapper.n_kmers_mapped
+        t = time.perf_counter()
+        for i in range(N_STEPS):
+            p, ln, nb, _, inv = packed[i % len(packed)]
+            mapper.map_chunk(p, ln, nb, inv)
+        kmers = mapper.n_kmers_mapped - before  # blocks on completion
+        dt = time.perf_counter() - t
+        results[accumulate] = kmers / dt
+        log(f"[{accumulate}] {kmers} kmers in {dt:.3f}s = {kmers / dt / 1e6:.1f} Mkmers/s")
+
+    best_name = max(results, key=results.get)
+    device_rate = results[best_name]
+
+    # --- baseline: reference-semantics numpy path on host, x16 threads -------
+    arrays = oracle.build_kmer_index(
+        entry_kmers, nodes, modulo=max(3, int(len(entry_kmers) * 1.7) | 1)
+    )
+    base_chunk = make_read_chunk(rng, BASELINE_SAMPLE_BASES)
+    t = time.perf_counter()
+    codes = oracle.encode_bytes(base_chunk.bases)
+    hashes = oracle.kmer_hashes_ragged(codes, base_chunk.read_lengths, K)
+    _ = oracle.map_kmers_to_index(arrays, hashes, max_node_id=3_000_000)
+    base_dt = time.perf_counter() - t
+    base_rate_1core = len(hashes) / base_dt
+    baseline_rate = base_rate_1core * 16
+    log(
+        f"baseline (numpy oracle, 1 core): {base_rate_1core / 1e6:.1f} Mkmers/s; "
+        f"x16 threads = {baseline_rate / 1e6:.1f} Mkmers/s"
+    )
+    log(f"total bench time {time.perf_counter() - t0:.1f}s; best accumulator: {best_name}")
+
+    print(
+        json.dumps(
+            {
+                "metric": "kmers hashed+looked-up per second per chip (k=31, 151bp reads)",
+                "value": round(device_rate, 1),
+                "unit": "kmers/s",
+                "vs_baseline": round(device_rate / baseline_rate, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

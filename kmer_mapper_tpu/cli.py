@@ -169,10 +169,9 @@ def _cmd_convert_index(args):
         out += ".npz"
     index.to_file(out)
     logger.info(
-        "Wrote TPU index (%d unique kmers, %d buckets, max_probe %d) to %s",
+        "Wrote TPU index (%d unique kmers, %d buckets) to %s",
         index.n_unique,
         index.table.n_buckets,
-        index.table.max_probe,
         out,
     )
 

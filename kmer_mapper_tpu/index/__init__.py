@@ -1,5 +1,5 @@
 from .kmer_index import TpuKmerIndex, load_index, load_reference_npz, save_reference_npz
-from .layout import BUCKET_WIDTH, TableArrays, build_table, query_table
+from .layout import BUCKET_KEYS, TableArrays, build_table, query_table
 
 __all__ = [
     "TpuKmerIndex",
@@ -9,5 +9,5 @@ __all__ = [
     "TableArrays",
     "build_table",
     "query_table",
-    "BUCKET_WIDTH",
+    "BUCKET_KEYS",
 ]

@@ -158,8 +158,7 @@ class TpuKmerIndex:
 
     def kmer_counts(self, slot_counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """(unique_kmers_in_slot_order, counts) — the counter view."""
-        lo = self.table.key_lo.reshape(-1)
-        hi = self.table.key_hi.reshape(-1)
+        lo, hi = self.table.key_words()
         occupied = ~((lo == layout.EMPTY) & (hi == layout.EMPTY))
         kmers = lo.astype(np.uint64) | (hi.astype(np.uint64) << np.uint64(32))
         counts = np.asarray(slot_counts).reshape(-1)
@@ -168,11 +167,10 @@ class TpuKmerIndex:
     def to_file(self, path) -> None:
         np.savez(
             path,
-            format=np.array(["tpuidx-v1"]),
-            table_key_lo=self.table.key_lo,
-            table_key_hi=self.table.key_hi,
-            table_max_probe=np.int64(self.table.max_probe),
-            table_seed=np.int64(self.table.seed),
+            format=np.array(["tpuidx-v2"]),
+            table_rows=self.table.rows,
+            table_seed1=np.int64(self.table.seed1),
+            table_seed2=np.int64(self.table.seed2),
             entry_slot=self.entry_slot,
             entry_node=self.entry_node,
             entry_frequency=self.entry_frequency,
@@ -183,13 +181,12 @@ class TpuKmerIndex:
     @classmethod
     def from_file(cls, path_or_file) -> "TpuKmerIndex":
         with np.load(path_or_file, allow_pickle=False) as data:
-            key_lo = data["table_key_lo"]
+            rows = data["table_rows"]
             table = layout.TableArrays(
-                key_lo=key_lo,
-                key_hi=data["table_key_hi"],
-                n_buckets=key_lo.shape[0],
-                max_probe=int(data["table_max_probe"]),
-                seed=int(data["table_seed"]),
+                rows=rows,
+                n_buckets=rows.shape[0],
+                seed1=int(data["table_seed1"]),
+                seed2=int(data["table_seed2"]),
             )
             return cls(
                 table=table,
@@ -204,7 +201,7 @@ class TpuKmerIndex:
 def _is_tpuidx(path_or_file) -> bool:
     try:
         with np.load(path_or_file, allow_pickle=False) as data:
-            return "table_key_lo" in data
+            return "table_rows" in data
     except Exception:
         return False
 

@@ -228,62 +228,92 @@ def read_chunks(
             stream.close()
 
 
+def split_long_reads(chunk: SequenceChunk, max_len: int, k: int) -> SequenceChunk:
+    """Split reads longer than ``max_len`` into segments overlapping by k-1
+    bases, so the windowed k-mer set is preserved exactly. Lets whole-genome
+    FASTA records stream through the fixed-size device buffers."""
+    lengths = chunk.read_lengths
+    if chunk.n_reads == 0 or int(lengths.max()) <= max_len:
+        return chunk
+    step = max_len - (k - 1)
+    assert step > 0
+    new_bases: list[np.ndarray] = []
+    new_lengths: list[int] = []
+    for s, ln in zip(chunk.read_starts, lengths):
+        if ln <= max_len:
+            new_bases.append(chunk.bases[s : s + ln])
+            new_lengths.append(int(ln))
+        else:
+            for off in range(0, int(ln), step):
+                seg = chunk.bases[s + off : s + min(off + max_len, int(ln))]
+                new_bases.append(seg)
+                new_lengths.append(len(seg))
+                if off + max_len >= ln:
+                    break
+    starts = np.cumsum([0] + new_lengths[:-1]).astype(np.int64)
+    return SequenceChunk(bases=np.concatenate(new_bases), read_starts=starts)
+
+
 def pack_for_device(
     chunks: Iterator[SequenceChunk],
     max_bases: int,
     max_reads: int,
-    pad_k: int,
-) -> Iterator[tuple[np.ndarray, np.ndarray, int, int]]:
-    """Repack framed chunks into fixed-shape device buffers.
+    k: int,
+) -> Iterator[tuple[np.ndarray, np.ndarray, int, int, int]]:
+    """Repack framed chunks into fixed-shape packed device buffers.
 
-    Yields (ascii uint8[max_bases + pad_k], read_starts int32[max_reads],
-    n_bases, n_reads); records are atomic and never split. The fixed shapes
-    let the XLA step compile once per run."""
+    Yields (packed_codes uint32[max_bases/16 + 2], read_lengths
+    uint16[max_reads], n_bases, n_reads, n_invalid). Encoding (with N->A and
+    invalid-base counting) and 2-bit packing happen here on the host: packed
+    codes are 4x smaller than ASCII on the host->device link. Reads longer
+    than min(65535, max_bases) are split with k-1 overlap (exact window set).
+    Fixed shapes let the XLA step compile once per run."""
+    from ..ops.encode import host_encode_pack
+
+    max_read_len = min(65535, max_bases)
+    out_words = max_bases // 16 + 2
     pend_bases: list[np.ndarray] = []
-    pend_starts: list[np.ndarray] = []
+    pend_lengths: list[np.ndarray] = []
     pend_nb = 0
     pend_nr = 0
 
     def emit():
-        nonlocal pend_bases, pend_starts, pend_nb, pend_nr
-        ascii_buf = np.full(max_bases + pad_k, ord("A"), dtype=np.uint8)
-        if pend_bases:
-            np.concatenate(pend_bases, out=ascii_buf[:pend_nb])
-        starts = np.full(max_reads, max_bases + pad_k, dtype=np.int32)
-        if pend_starts:
-            starts[:pend_nr] = np.concatenate(pend_starts)
-        out = (ascii_buf, starts, pend_nb, pend_nr)
-        pend_bases, pend_starts, pend_nb, pend_nr = [], [], 0, 0
+        nonlocal pend_bases, pend_lengths, pend_nb, pend_nr
+        flat = np.concatenate(pend_bases) if pend_bases else np.zeros(0, np.uint8)
+        packed, n_invalid = host_encode_pack(flat, out_words)
+        lengths = np.zeros(max_reads, dtype=np.uint16)
+        if pend_lengths:
+            lengths[:pend_nr] = np.concatenate(pend_lengths)
+        out = (packed, lengths, pend_nb, pend_nr, n_invalid)
+        pend_bases, pend_lengths, pend_nb, pend_nr = [], [], 0, 0
         return out
 
     for chunk in chunks:
+        chunk = split_long_reads(chunk, max_read_len, k)
         offset = 0  # record index consumed within this chunk
         starts_all = chunk.read_starts
-        lengths = chunk.read_lengths
-        if chunk.n_reads and int(lengths.max()) > max_bases:
-            raise ValueError(
-                f"read of {int(lengths.max())} bases exceeds device buffer "
-                f"({max_bases}); increase --chunk-size"
-            )
+        lengths_all = chunk.read_lengths
         while offset < chunk.n_reads:
             space_b = max_bases - pend_nb
             space_r = max_reads - pend_nr
-            if space_r == 0 or lengths[offset] > space_b:
+            if space_r == 0 or lengths_all[offset] > space_b:
                 yield emit()
                 continue
             # how many whole records fit
-            cum = np.cumsum(lengths[offset:])
+            cum = np.cumsum(lengths_all[offset:])
             n_fit = int(np.searchsorted(cum, space_b, side="right"))
             n_fit = min(n_fit, space_r)
             if n_fit == 0:
                 yield emit()
                 continue
             lo = int(starts_all[offset])
-            hi = int(starts_all[offset + n_fit]) if offset + n_fit < chunk.n_reads else chunk.n_bases
-            pend_bases.append(chunk.bases[lo:hi])
-            pend_starts.append(
-                (starts_all[offset : offset + n_fit] - lo + pend_nb).astype(np.int32)
+            hi = (
+                int(starts_all[offset + n_fit])
+                if offset + n_fit < chunk.n_reads
+                else chunk.n_bases
             )
+            pend_bases.append(chunk.bases[lo:hi])
+            pend_lengths.append(lengths_all[offset : offset + n_fit].astype(np.uint16))
             pend_nb += hi - lo
             pend_nr += n_fit
             offset += n_fit

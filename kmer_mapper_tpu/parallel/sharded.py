@@ -1,0 +1,201 @@
+"""Multi-device mapping: shard_map chunk step + GSPMD finalization.
+
+Layout (see ``mesh.py``): reads are data-parallel, the cuckoo table is sharded
+by contiguous bucket ranges over the index axis. Each (data, index) device
+probes its data row's full query stream against its local bucket range and
+counts the keys it owns into a private count shard — the hot path is
+collective-free by construction (the TPU analog of the reference's race-free
+private ``node_counts`` per worker, SURVEY §5.2). The additive reduce over the
+data axis and the entry->node conversion happen once, at finalization, where
+XLA's partitioner inserts the psum/all-gathers over ICI.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from ..index.kmer_index import TpuKmerIndex
+from ..models.mapper import MapperConfig
+from ..ops import encode, hashing, probe
+from .mesh import DATA_AXIS, INDEX_AXIS
+
+
+def make_sharded_step(
+    mesh: Mesh, config: MapperConfig, n_buckets: int, seed1: int, seed2: int
+):
+    """Compile the multi-device chunk step.
+
+    Global shapes (D = data axis size, S = total table slots):
+      counts  uint32[D, S]            sharded (data, index)   -- donated
+      rows    uint32[n_buckets, 8]    sharded (index, None)
+      packed  uint32[D, packed_words] sharded (data, None)
+      lengths uint16[D, max_reads]    sharded (data, None)
+      n_bases int32[D]                sharded (data,)
+    Returns (counts', n_valid uint32[D]).
+    """
+    n_index = mesh.shape[INDEX_AXIS]
+    assert n_buckets % n_index == 0
+    nb_local = n_buckets // n_index
+    accumulate = probe.ACCUMULATORS[config.accumulate]
+    k, buf = config.k, config.buf
+
+    def local_step(counts, rows, packed, lengths, n_bases):
+        x = jax.lax.axis_index(INDEX_AXIS)
+        row_offset = (x * nb_local).astype(jnp.int32)
+        codes = encode.unpack_codes(packed[0])[: buf + k]
+        lengths_i = lengths[0].astype(jnp.int32)
+        starts = jnp.cumsum(lengths_i) - lengths_i
+        valid = hashing.window_mask(starts, n_bases[0], k, buf)
+        n_valid = jnp.sum(valid.astype(jnp.uint32))
+        c = counts[0]
+
+        def probe_and_count(c, q_lo, q_hi):
+            bucket, mask = probe.probe_hits(
+                rows,
+                q_lo,
+                q_hi,
+                seed1,
+                seed2,
+                n_buckets_global=n_buckets,
+                row_offset=row_offset,
+            )
+            return accumulate(c, bucket, mask, valid)
+
+        lo, hi = hashing.rolling_kmer_hash(codes, k)
+        c = probe_and_count(c, lo, hi)
+        if config.revcomp:
+            rlo, rhi = hashing.rolling_revcomp_hash(codes, k)
+            c = probe_and_count(c, rlo, rhi)
+        return c[None], n_valid[None]
+
+    step = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(
+            P(DATA_AXIS, INDEX_AXIS),
+            P(INDEX_AXIS, None),
+            P(DATA_AXIS, None),
+            P(DATA_AXIS, None),
+            P(DATA_AXIS),
+        ),
+        out_specs=(P(DATA_AXIS, INDEX_AXIS), P(DATA_AXIS)),
+    )
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_finalize(mesh: Mesh, max_node_id: int, max_frequency: int = 1000):
+    """Compile node-count finalization: sum count shards over the data axis,
+    gather per-entry kmer counts, frequency-filter, bincount by node. Entry
+    arrays are sharded over all devices; XLA inserts the collectives."""
+
+    def finalize(counts, entry_slot, entry_node, entry_frequency):
+        slot_counts = jnp.sum(counts, axis=0)  # reduce over data axis
+        ok = entry_frequency <= jnp.uint16(max_frequency)
+        w = jnp.where(ok, slot_counts[entry_slot], jnp.uint32(0))
+        return jnp.zeros(max_node_id + 1, dtype=jnp.uint32).at[entry_node].add(w)
+
+    replicated = NamedSharding(mesh, P())
+    return jax.jit(finalize, out_shardings=replicated)
+
+
+class ShardedKmerMapper:
+    """Multi-device mapper: index table sharded over the mesh's index axis,
+    chunks fanned out over the data axis. Feed batches of D packed chunk
+    buffers; finalize on device with a single collective reduction."""
+
+    def __init__(self, index: TpuKmerIndex, config: MapperConfig, mesh: Mesh):
+        self.index = index
+        self.config = config
+        self.mesh = mesh
+        self.n_data = mesh.shape[DATA_AXIS]
+        table = index.table
+
+        def put(arr, spec):
+            return jax.device_put(arr, NamedSharding(mesh, spec))
+
+        self.rows = put(table.rows, P(INDEX_AXIS, None))
+        self.counts = put(
+            jnp.zeros((self.n_data, table.n_slots), dtype=jnp.uint32),
+            P(DATA_AXIS, INDEX_AXIS),
+        )
+        self._step = make_sharded_step(
+            mesh, config, table.n_buckets, table.seed1, table.seed2
+        )
+        self._stats: list = []
+        self._total_kmers = 0
+        self.n_invalid_bases = 0
+        self._spec_row = NamedSharding(mesh, P(DATA_AXIS, None))
+        self._spec_scalar = NamedSharding(mesh, P(DATA_AXIS))
+
+    def map_batch(
+        self,
+        packed_batch: np.ndarray,
+        lengths_batch: np.ndarray,
+        n_bases: np.ndarray,
+        n_invalid: int = 0,
+    ) -> None:
+        """packed uint32[D, packed_words], lengths uint16[D, max_reads],
+        n_bases int32[D]. Short final batches are padded with empty rows."""
+        self.counts, n_valid = self._step(
+            self.counts,
+            self.rows,
+            jax.device_put(packed_batch, self._spec_row),
+            jax.device_put(lengths_batch, self._spec_row),
+            jax.device_put(n_bases, self._spec_scalar),
+        )
+        self._stats.append(n_valid)
+        self.n_invalid_bases += n_invalid
+
+    @property
+    def n_kmers_mapped(self) -> int:
+        if self._stats:
+            fetched = jax.device_get(self._stats)
+            self._total_kmers += int(sum(np.asarray(x).sum() for x in fetched))
+            self._stats = []
+        return self._total_kmers
+
+    def node_counts(self, max_frequency: int = 1000) -> np.ndarray:
+        finalize = make_finalize(self.mesh, self.index.max_node_id, max_frequency)
+        # pad entry arrays to a multiple of the device count for even sharding
+        n_dev = self.mesh.size
+        n = len(self.index.entry_slot)
+        pad = (-n) % n_dev
+        slot = np.pad(self.index.entry_slot, (0, pad))
+        node = np.pad(self.index.entry_node, (0, pad))
+        # padding entries point at node 0 but are masked by frequency = max
+        freq = np.pad(self.index.entry_frequency, (0, pad), constant_values=0xFFFF)
+        shard1d = NamedSharding(self.mesh, P((DATA_AXIS, INDEX_AXIS)))
+        out = finalize(
+            self.counts,
+            jax.device_put(slot, shard1d),
+            jax.device_put(node, shard1d),
+            jax.device_put(freq, shard1d),
+        )
+        return np.asarray(jax.device_get(out))
+
+
+def batch_packed_chunks(packed_iter, n_data: int, packed_words: int, max_reads: int):
+    """Group single-chunk packed buffers into [D, ...] batches, padding the tail.
+    Yields (packed[D, W], lengths[D, R], n_bases[D], n_invalid_total)."""
+    batch = []
+    for item in packed_iter:
+        batch.append(item)
+        if len(batch) == n_data:
+            yield _stack_batch(batch, packed_words, max_reads, n_data)
+            batch = []
+    if batch:
+        yield _stack_batch(batch, packed_words, max_reads, n_data)
+
+
+def _stack_batch(batch, packed_words, max_reads, n_data):
+    packed_b = np.zeros((n_data, packed_words), dtype=np.uint32)
+    lengths_b = np.zeros((n_data, max_reads), dtype=np.uint16)
+    n_bases = np.zeros(n_data, dtype=np.int32)
+    n_invalid = 0
+    for i, (p, ln, nb, _, inv) in enumerate(batch):
+        packed_b[i], lengths_b[i], n_bases[i] = p, ln, nb
+        n_invalid += inv
+    return packed_b, lengths_b, n_bases, n_invalid

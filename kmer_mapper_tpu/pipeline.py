@@ -106,16 +106,17 @@ def map_file(
 
     t_map = time.perf_counter()
     n_chunks = 0
-    for ascii_buf, starts, n_bases, n_reads in prefetch(packed, depth=queue_depth):
-        mapper.map_chunk(ascii_buf, starts, n_bases)
+    for packed_codes, lengths, n_bases, n_reads, n_invalid in prefetch(
+        packed, depth=queue_depth
+    ):
+        mapper.map_chunk(packed_codes, lengths, n_bases, n_invalid)
         n_chunks += 1
-        if progress and n_chunks % 50 == 0:
+        if progress and n_chunks % 200 == 0:
             logger.info(
-                "chunk %d/~%d (%.1f%%), %d kmers mapped",
+                "chunk %d/~%d (%.1f%%)",
                 n_chunks,
                 approx_chunks,
                 100 * min(1.0, n_chunks / approx_chunks),
-                mapper.n_kmers_mapped,
             )
     logger.info(
         "Time spent only on hashing and counting hashes: %.4f",
@@ -178,10 +179,10 @@ def map_sequences(
     buf = _round_up(max(len(flat), 1 << 10), 1 << 10)
     config = MapperConfig(k=k, buf=buf, max_reads=max(16, len(sequences)), **kwargs)
     mapper = KmerMapper(index, config)
-    for ascii_buf, starts, n_bases, _ in readers.pack_for_device(
+    for packed, lengths, n_bases, _, n_invalid in readers.pack_for_device(
         iter([chunk]), config.buf, config.max_reads, config.k
     ):
-        mapper.map_chunk(ascii_buf, starts, n_bases)
+        mapper.map_chunk(packed, lengths, n_bases, n_invalid)
     return mapper.node_counts(max_frequency=max_frequency)
 
 

@@ -1,4 +1,4 @@
-"""Device ops vs numpy oracle: bit-exact encode/hash/probe/count on the JAX path."""
+"""Device ops vs numpy oracle: bit-exact pack/unpack/hash/probe/count on JAX."""
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -11,7 +11,7 @@ from kmer_mapper_tpu.ops import encode, hashing, probe
 from kmer_mapper_tpu.ops.u32hash import join_u64, mix64, split_u64
 
 
-def test_encode_matches_oracle():
+def test_device_encode_matches_oracle():
     ascii_bytes = np.frombuffer(b"ACGTacgtNnACGT", dtype=np.uint8)
     codes, invalid = encode.encode_bases(jnp.asarray(ascii_bytes))
     np.testing.assert_array_equal(np.asarray(codes), oracle.encode_bytes(ascii_bytes))
@@ -19,6 +19,21 @@ def test_encode_matches_oracle():
     bad = np.frombuffer(b"AXG", dtype=np.uint8)
     codes, invalid = encode.encode_bases(jnp.asarray(bad))
     np.testing.assert_array_equal(np.asarray(invalid), [0, 1, 0])
+
+
+def test_host_pack_device_unpack_roundtrip():
+    rng = np.random.default_rng(0)
+    bases = rng.choice(np.frombuffer(b"ACGTacgtNn", dtype=np.uint8), 1000)
+    out_words = (len(bases) + 15) // 16 + 2
+    packed, n_invalid = encode.host_encode_pack(bases, out_words)
+    assert n_invalid == 0
+    codes = np.asarray(encode.unpack_codes(jnp.asarray(packed)))
+    expect = oracle.encode_bytes(bases)
+    np.testing.assert_array_equal(codes[: len(bases)], expect)
+    np.testing.assert_array_equal(codes[len(bases) :], 0)
+    # invalid counting
+    packed, n_invalid = encode.host_encode_pack(np.frombuffer(b"AXGZ", np.uint8), 1)
+    assert n_invalid == 2
 
 
 def test_mix64_numpy_jax_identical():
@@ -57,9 +72,11 @@ def test_window_mask_ragged():
     lengths = [6, 3, 10, 4]  # read of 3 < k yields no windows
     starts = np.cumsum([0] + lengths[:-1]).astype(np.int32)
     n_bases = sum(lengths)
-    starts_padded = np.full(8, buf + k, dtype=np.int32)
+    starts_padded = np.full(8, n_bases, dtype=np.int32)
     starts_padded[: len(starts)] = starts
-    mask = np.asarray(hashing.window_mask(jnp.asarray(starts_padded), jnp.int32(n_bases), k, buf))
+    mask = np.asarray(
+        hashing.window_mask(jnp.asarray(starts_padded), jnp.int32(n_bases), k, buf)
+    )
     expect = np.zeros(buf, dtype=bool)
     for s, ln in zip(starts, lengths):
         expect[s : s + max(0, ln - k + 1)] = True
@@ -74,47 +91,53 @@ def test_probe_matches_host_query():
     qlo, qhi = split_u64(queries)
     got = np.asarray(
         probe.probe_slots(
-            jnp.asarray(table.key_lo),
-            jnp.asarray(table.key_hi),
+            jnp.asarray(table.rows),
             jnp.asarray(qlo),
             jnp.asarray(qhi),
-            table.max_probe,
-            table.seed,
+            table.seed1,
+            table.seed2,
         )
     )
     expect = layout.query_table(table, queries)
     np.testing.assert_array_equal(got, expect)
 
 
-@pytest.mark.parametrize("method", ["scatter", "sorted"])
+@pytest.mark.parametrize("method", ["scatter", "sorted", "rowscatter"])
 def test_accumulators_match_bincount(method):
     rng = np.random.default_rng(4)
-    n_slots = 64
-    slots = rng.integers(-1, n_slots, 1000).astype(np.int32)
-    valid = rng.random(1000) < 0.8
+    n_buckets = 16
+    n_slots = n_buckets * layout.BUCKET_KEYS
+    n = 1000
+    bucket = rng.integers(0, n_buckets, n).astype(np.int32)
+    lane_hit = rng.integers(-1, layout.BUCKET_KEYS, n)  # -1 = miss
+    mask = np.zeros((n, layout.BUCKET_KEYS), dtype=np.uint32)
+    mask[lane_hit >= 0, lane_hit[lane_hit >= 0]] = 1
+    valid = rng.random(n) < 0.8
     counts0 = rng.integers(0, 5, n_slots).astype(np.uint32)
     got = np.asarray(
-        probe.ACCUMULATORS[method](jnp.asarray(counts0), jnp.asarray(slots), jnp.asarray(valid))
+        probe.ACCUMULATORS[method](
+            jnp.asarray(counts0), jnp.asarray(bucket), jnp.asarray(mask), jnp.asarray(valid)
+        )
     )
-    keep = valid & (slots >= 0)
-    expect = counts0 + np.bincount(slots[keep], minlength=n_slots).astype(np.uint32)
+    keep = valid & (lane_hit >= 0)
+    slots = bucket[keep] * layout.BUCKET_KEYS + lane_hit[keep]
+    expect = counts0 + np.bincount(slots, minlength=n_slots).astype(np.uint32)
     np.testing.assert_array_equal(got, expect)
 
 
-def _frame_reads(reads: list[str], buf: int, max_reads: int, k: int):
+def _pack_reads(reads: list[str], config: MapperConfig):
     flat = "".join(reads)
-    ascii_buf = np.full(buf + k, ord("A"), dtype=np.uint8)
-    ascii_buf[: len(flat)] = np.frombuffer(flat.encode(), dtype=np.uint8)
-    starts = np.full(max_reads, buf + k, dtype=np.int32)
-    starts[: len(reads)] = np.cumsum([0] + [len(r) for r in reads[:-1]])
-    return ascii_buf, starts, len(flat)
+    bases = np.frombuffer(flat.encode(), dtype=np.uint8)
+    packed, n_invalid = encode.host_encode_pack(bases, config.packed_words)
+    lengths = np.zeros(config.max_reads, dtype=np.uint16)
+    lengths[: len(reads)] = [len(r) for r in reads]
+    return packed, lengths, len(flat), n_invalid
 
 
-@pytest.mark.parametrize("accumulate", ["scatter", "sorted"])
+@pytest.mark.parametrize("accumulate", ["scatter", "sorted", "rowscatter"])
 def test_full_chunk_step_matches_oracle(accumulate):
     rng = np.random.default_rng(5)
     k = 7
-    # index built from kmers occurring in synthetic reads plus extras
     reads = ["".join(rng.choice(list("ACGT"), rng.integers(4, 40))) for _ in range(60)]
     read_codes = [oracle.encode_string(r) for r in reads]
     read_kmers = np.concatenate(
@@ -129,8 +152,7 @@ def test_full_chunk_step_matches_oracle(accumulate):
 
     config = MapperConfig(k=k, buf=2048, max_reads=128, accumulate=accumulate)
     mapper = KmerMapper(tpu, config)
-    ascii_buf, starts, n_bases = _frame_reads(reads, config.buf, config.max_reads, k)
-    mapper.map_chunk(ascii_buf, starts, n_bases)
+    mapper.map_chunk(*_pack_reads(reads, config))
     got = mapper.node_counts()
 
     oracle_kmers = oracle.kmer_hashes_ragged(
@@ -154,8 +176,7 @@ def test_chunk_step_revcomp():
 
     config = MapperConfig(k=k, buf=1024, max_reads=64, revcomp=True)
     mapper = KmerMapper(tpu, config)
-    ascii_buf, starts, n_bases = _frame_reads(reads, config.buf, config.max_reads, k)
-    mapper.map_chunk(ascii_buf, starts, n_bases)
+    mapper.map_chunk(*_pack_reads(reads, config))
     got = mapper.node_counts()
 
     queries = np.concatenate([fwd, oracle.revcomp_hash(fwd, k)])
@@ -168,18 +189,18 @@ def test_map_hashes_counter_parity():
     keys = np.unique(rng.integers(0, 1 << 62, 500, dtype=np.uint64))
     tpu = ki.TpuKmerIndex.from_counter_keys(keys)
     mapper = KmerMapper(tpu, MapperConfig(k=31, buf=256, max_reads=16))
-    queries = np.concatenate([rng.choice(keys, 2000), rng.integers(0, 1 << 62, 300, dtype=np.uint64)])
+    queries = np.concatenate(
+        [rng.choice(keys, 2000), rng.integers(0, 1 << 62, 300, dtype=np.uint64)]
+    )
     mapper.map_hashes(queries)
     got_kmers, got_counts = mapper.kmer_counts()
     expect = oracle.count_unique_kmers(got_kmers, queries)
     np.testing.assert_array_equal(got_counts, expect)
 
 
-def test_invalid_base_tracking():
-    tpu = ki.TpuKmerIndex.from_counter_keys(np.array([1, 2, 3], dtype=np.uint64))
+def test_invalid_base_tracking_host():
     config = MapperConfig(k=3, buf=64, max_reads=8)
+    tpu = ki.TpuKmerIndex.from_counter_keys(np.array([1, 2, 3], dtype=np.uint64))
     mapper = KmerMapper(tpu, config)
-    reads = ["ACGXGA"]  # one invalid byte
-    ascii_buf, starts, n_bases = _frame_reads(reads, config.buf, config.max_reads, config.k)
-    mapper.map_chunk(ascii_buf, starts, n_bases)
+    mapper.map_chunk(*_pack_reads(["ACGXGA"], config))
     assert mapper.n_invalid_bases == 1

@@ -18,21 +18,21 @@ def test_table_build_and_query_roundtrip():
     assert (slots >= 0).all()
     # slots are distinct and store the right keys
     assert len(np.unique(slots)) == len(keys)
-    lo = table.key_lo.reshape(-1)[slots]
-    hi = table.key_hi.reshape(-1)[slots]
-    np.testing.assert_array_equal(lo.astype(np.uint64) | (hi.astype(np.uint64) << np.uint64(32)), keys)
+    lo, hi = table.key_words()
+    np.testing.assert_array_equal(
+        lo[slots].astype(np.uint64) | (hi[slots].astype(np.uint64) << np.uint64(32)), keys
+    )
     # absent keys return -1
     absent = np.setdiff1d(rng.integers(0, 1 << 62, 1000, dtype=np.uint64), keys)
     np.testing.assert_array_equal(layout.query_table(table, absent), -1)
 
 
-def test_table_build_high_load_overflow_chaining():
+def test_table_build_high_load_cuckoo_eviction():
     rng = np.random.default_rng(2)
     keys = np.unique(rng.integers(0, 1 << 62, 4096, dtype=np.uint64))
-    # force a small table: high load factor exercises bucket overflow chaining
-    n_buckets = layout._next_pow2(int(np.ceil(len(keys) / layout.BUCKET_WIDTH * 1.05)))
+    # ~90% load factor forces cuckoo kicks during build
+    n_buckets = layout._next_pow2(int(np.ceil(len(keys) / layout.BUCKET_KEYS / 0.9)))
     table = layout.build_table(keys, n_buckets=n_buckets)
-    assert table.max_probe > 1  # overflow actually happened
     slots = layout.query_table(table, keys)
     assert (slots >= 0).all()
     assert len(np.unique(slots)) == len(keys)
@@ -98,7 +98,7 @@ def test_tpuidx_file_roundtrip(tmp_path):
     path = tmp_path / "index.tpuidx.npz"
     tpu.to_file(path)
     loaded = ki.load_index(path)
-    np.testing.assert_array_equal(loaded.table.key_lo, tpu.table.key_lo)
+    np.testing.assert_array_equal(loaded.table.rows, tpu.table.rows)
     np.testing.assert_array_equal(loaded.entry_slot, tpu.entry_slot)
     assert loaded.max_node_id == tpu.max_node_id
 

@@ -94,27 +94,55 @@ def test_detect_format():
         readers.detect_format("x.bin", peek=b"junk")
 
 
+def _unpack_host(packed, n):
+    codes = np.zeros(len(packed) * 16, dtype=np.uint8)
+    for i in range(16):
+        codes[i::16] = (packed >> np.uint32(2 * i)) & 3
+    return codes[:n]
+
+
 def test_pack_for_device_shapes_and_content(tmp_path):
+    from kmer_mapper_tpu import oracle
+
     rng = np.random.default_rng(1)
     seqs = ["".join(rng.choice(list("ACGT"), rng.integers(5, 60))) for _ in range(200)]
     text = "".join(f">r{i}\n{s}\n" for i, s in enumerate(seqs))
     path = _write(tmp_path, "x.fa", text)
     max_bases, max_reads, k = 512, 32, 31
     got = []
-    for ascii_buf, starts, n_bases, n_reads in readers.pack_for_device(
+    for packed, lengths, n_bases, n_reads, n_invalid in readers.pack_for_device(
         readers.read_chunks(path, min_chunk_size=300), max_bases, max_reads, k
     ):
-        assert ascii_buf.shape == (max_bases + k,)
-        assert starts.shape == (max_reads,)
+        assert packed.shape == (max_bases // 16 + 2,)
+        assert lengths.shape == (max_reads,)
         assert n_bases <= max_bases and n_reads <= max_reads
-        assert (starts[n_reads:] >= max_bases + k).all()
-        ends = np.append(starts[:n_reads][1:], n_bases)
-        for s, e in zip(starts[:n_reads], ends):
-            got.append(bytes(ascii_buf[s:e]).decode())
+        assert n_invalid == 0
+        assert (lengths[n_reads:] == 0).all()
+        codes = _unpack_host(packed, n_bases)
+        starts = np.cumsum(lengths[:n_reads]) - lengths[:n_reads]
+        for s, ln in zip(starts, lengths[:n_reads]):
+            got.append(oracle.decode_to_string(codes[s : s + ln]))
     assert got == seqs
 
 
-def test_pack_for_device_read_too_long(tmp_path):
-    path = _write(tmp_path, "x.fa", ">r\n" + "A" * 100 + "\n")
-    with pytest.raises(ValueError, match="exceeds device buffer"):
-        list(readers.pack_for_device(readers.read_chunks(path), 50, 8, 31))
+def test_pack_for_device_long_read_split_preserves_kmers(tmp_path):
+    """A read longer than the device buffer is split with k-1 overlap; the
+    window set is preserved exactly."""
+    from kmer_mapper_tpu import oracle
+
+    rng = np.random.default_rng(2)
+    k = 7
+    long_read = "".join(rng.choice(list("ACGT"), 1000))
+    path = _write(tmp_path, "x.fa", f">r\n{long_read}\n")
+    max_bases = 256
+    all_kmers = []
+    for packed, lengths, n_bases, n_reads, _ in readers.pack_for_device(
+        readers.read_chunks(path), max_bases, 32, k
+    ):
+        codes = _unpack_host(packed, n_bases)
+        all_kmers.append(
+            oracle.kmer_hashes_ragged(codes, lengths[:n_reads].astype(np.int64), k)
+        )
+    got = np.concatenate(all_kmers)
+    expect = oracle.kmer_hashes(oracle.encode_string(long_read), k)
+    np.testing.assert_array_equal(got, expect)

@@ -1,0 +1,112 @@
+"""Multi-device tests on the 8-virtual-CPU-device mesh: sharded table probe,
+data-parallel accumulation, collective finalization — bit-exact vs oracle."""
+import numpy as np
+import pytest
+
+import jax
+
+from kmer_mapper_tpu import oracle
+from kmer_mapper_tpu.index import kmer_index as ki
+from kmer_mapper_tpu.index import layout
+from kmer_mapper_tpu.io import readers
+from kmer_mapper_tpu.models.mapper import MapperConfig
+from kmer_mapper_tpu.parallel import ShardedKmerMapper, batch_packed_chunks, make_mesh
+
+
+def _setup(rng, k, n_reads=200):
+    reads = ["".join(rng.choice(list("ACGT"), rng.integers(20, 80))) for _ in range(n_reads)]
+    codes = [oracle.encode_string(r) for r in reads]
+    read_kmers = oracle.kmer_hashes_ragged(
+        np.concatenate(codes), np.array([len(c) for c in codes]), k
+    )
+    mask = np.uint64(4**k - 1) if k < 32 else np.uint64(-1)
+    entry_kmers = np.concatenate(
+        [rng.choice(read_kmers, 300), rng.integers(0, 1 << 62, 100, dtype=np.uint64) & mask]
+    )
+    nodes = rng.integers(0, 150, len(entry_kmers)).astype(np.int32)
+    arrays = oracle.build_kmer_index(entry_kmers, nodes, 1999)
+    expect = oracle.map_kmers_to_index(arrays, read_kmers)
+    return reads, arrays, expect
+
+
+def _chunks_from_reads(reads, config):
+    flat = "".join(reads)
+    chunk = readers.SequenceChunk(
+        bases=np.frombuffer(flat.encode(), dtype=np.uint8),
+        read_starts=np.cumsum([0] + [len(r) for r in reads[:-1]]).astype(np.int64),
+    )
+    return readers.pack_for_device(iter([chunk]), config.buf, config.max_reads, config.k)
+
+
+def _run(mapper, reads, config):
+    packed = _chunks_from_reads(reads, config)
+    for batch in batch_packed_chunks(
+        packed, mapper.n_data, config.packed_words, config.max_reads
+    ):
+        mapper.map_batch(*batch)
+
+
+@pytest.mark.parametrize("shape", [(8, 1), (4, 2), (2, 4), (1, 8)])
+def test_sharded_mapping_matches_oracle(shape):
+    d, x = shape
+    assert len(jax.devices()) >= d * x
+    rng = np.random.default_rng(d * 10 + x)
+    k = 9
+    reads, arrays, expect = _setup(rng, k)
+    mesh = make_mesh(n_devices=d * x, index_parallel=x)
+    config = MapperConfig(k=k, buf=1024, max_reads=64)
+    mapper = ShardedKmerMapper(ki.TpuKmerIndex.from_arrays(arrays), config, mesh)
+    _run(mapper, reads, config)
+    got = mapper.node_counts()
+    np.testing.assert_array_equal(got, expect)
+    assert mapper.n_kmers_mapped == sum(max(0, len(r) - k + 1) for r in reads)
+
+
+def test_sharded_revcomp_and_frequency():
+    rng = np.random.default_rng(42)
+    k = 7
+    reads = ["".join(rng.choice(list("ACGT"), 40)) for _ in range(50)]
+    codes = [oracle.encode_string(r) for r in reads]
+    fwd = oracle.kmer_hashes_ragged(
+        np.concatenate(codes), np.array([len(c) for c in codes]), k
+    )
+    entry_kmers = rng.choice(np.concatenate([fwd, oracle.revcomp_hash(fwd, k)]), 150)
+    nodes = rng.integers(0, 60, len(entry_kmers)).astype(np.int32)
+    freqs = rng.choice([1, 1001], len(entry_kmers), p=[0.9, 0.1]).astype(np.uint16)
+    arrays = oracle.build_kmer_index(entry_kmers, nodes, 499, frequencies=freqs)
+    queries = np.concatenate([fwd, oracle.revcomp_hash(fwd, k)])
+    expect = oracle.map_kmers_to_index(arrays, queries)
+
+    mesh = make_mesh(n_devices=8, index_parallel=2)
+    config = MapperConfig(k=k, buf=512, max_reads=32, revcomp=True, accumulate="sorted")
+    mapper = ShardedKmerMapper(ki.TpuKmerIndex.from_arrays(arrays), config, mesh)
+    _run(mapper, reads, config)
+    np.testing.assert_array_equal(mapper.node_counts(), expect)
+
+
+def test_sharded_probe_bucket_choices_span_shards():
+    """With 8 index shards and a high-load table, a key's two cuckoo bucket
+    choices routinely live on different shards; every key must count exactly
+    once."""
+    rng = np.random.default_rng(3)
+    keys = np.unique(rng.integers(0, 1 << 62, 2048, dtype=np.uint64))
+    n_buckets = layout._next_pow2(int(np.ceil(len(keys) / layout.BUCKET_KEYS / 0.85)))
+    table = layout.build_table(keys, n_buckets=n_buckets)
+    slots = layout.query_table(table, keys)
+    tpu = ki.TpuKmerIndex(
+        table=table,
+        entry_slot=slots.astype(np.int32),
+        entry_node=np.arange(len(keys), dtype=np.int32),
+        entry_frequency=np.ones(len(keys), dtype=np.uint16),
+        max_node_id=len(keys) - 1,
+        n_unique=len(keys),
+    )
+    k = 31
+    mesh = make_mesh(n_devices=8, index_parallel=8)
+    config = MapperConfig(k=k, buf=256, max_reads=16)
+    mapper = ShardedKmerMapper(tpu, config, mesh)
+    reads = [
+        "".join(oracle.ALPHABET[(int(key) >> (2 * i)) & 3] for i in range(k)) for key in keys
+    ]
+    _run(mapper, reads, config)
+    np.testing.assert_array_equal(mapper.node_counts(), 1)
