@@ -167,10 +167,11 @@ class TpuKmerIndex:
     def to_file(self, path) -> None:
         np.savez(
             path,
-            format=np.array(["tpuidx-v2"]),
-            table_rows=self.table.rows,
-            table_seed1=np.int64(self.table.seed1),
-            table_seed2=np.int64(self.table.seed2),
+            format=np.array(["tpuidx-v3"]),
+            table_key_lo=self.table.key_lo,
+            table_key_hi=self.table.key_hi,
+            table_max_probe=np.int64(self.table.max_probe),
+            table_seed=np.int64(self.table.seed),
             entry_slot=self.entry_slot,
             entry_node=self.entry_node,
             entry_frequency=self.entry_frequency,
@@ -181,12 +182,13 @@ class TpuKmerIndex:
     @classmethod
     def from_file(cls, path_or_file) -> "TpuKmerIndex":
         with np.load(path_or_file, allow_pickle=False) as data:
-            rows = data["table_rows"]
+            key_lo = data["table_key_lo"]
             table = layout.TableArrays(
-                rows=rows,
-                n_buckets=rows.shape[0],
-                seed1=int(data["table_seed1"]),
-                seed2=int(data["table_seed2"]),
+                key_lo=key_lo,
+                key_hi=data["table_key_hi"],
+                n_buckets=key_lo.shape[0],
+                max_probe=int(data["table_max_probe"]),
+                seed=int(data["table_seed"]),
             )
             return cls(
                 table=table,
@@ -201,7 +203,7 @@ class TpuKmerIndex:
 def _is_tpuidx(path_or_file) -> bool:
     try:
         with np.load(path_or_file, allow_pickle=False) as data:
-            return "table_rows" in data
+            return "table_key_lo" in data
     except Exception:
         return False
 

@@ -5,8 +5,13 @@ One ``step`` consumes a fixed-shape chunk of framed reads (2-bit packed codes
 count state, entirely on device:
 
     packed codes -> unpack -> rolling (lo, hi) hash [-> revcomp hash]
-                 -> window mask (ragged reads) -> cuckoo probe (2 row gathers)
-                 -> count accumulate
+                 -> window mask (ragged reads) -> probe + count
+
+Two probe strategies (``MapperConfig.probe``):
+  * ``"stream"`` (default on TPU) — sort queries by bucket and stream the
+    table through a Pallas MXU kernel; no gathers/scatters (ops/stream_probe).
+  * ``"gather"`` — per-round XLA row gathers + scatter-add accumulate
+    (ops/probe); the CPU-fallback and pre-hashed-query path.
 
 The table ("weights") and the counts ("optimizer state") are device-resident;
 the count buffer is donated so accumulation is in-place. All shapes are static,
@@ -26,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..index.kmer_index import TpuKmerIndex
-from ..ops import encode, hashing, probe
+from ..ops import encode, hashing, probe, stream_probe
 
 
 @dataclasses.dataclass(frozen=True)
@@ -37,11 +42,14 @@ class MapperConfig:
     buf: int = 1 << 21  # chunk capacity in bases; multiple of 16
     max_reads: int = 1 << 15  # max reads per chunk
     revcomp: bool = False  # also count reverse complements (GPU-path -r flag)
-    accumulate: str = "scatter"  # see ops.probe.ACCUMULATORS
+    probe: str = "gather"  # "stream" | "gather"; default_config picks per backend
+    accumulate: str = "scatter"  # gather-probe accumulator (see ops.probe)
+    interpret: bool = False  # run Pallas kernels in interpreter mode (CPU)
 
     def __post_init__(self):
         assert 1 <= self.k <= 31
         assert self.buf % encode.BASES_PER_WORD == 0
+        assert self.probe in ("stream", "gather")
         assert self.accumulate in probe.ACCUMULATORS
 
     @property
@@ -51,15 +59,16 @@ class MapperConfig:
 
 
 def chunk_step(
-    rows: jnp.ndarray,  # uint32[n_buckets, 8] cuckoo table
+    key_lo: jnp.ndarray,  # uint32[n_buckets, 8]
+    key_hi: jnp.ndarray,
     counts: jnp.ndarray,  # uint32[n_slots] — donated
     packed: jnp.ndarray,  # uint32[packed_words] 2-bit codes
     lengths: jnp.ndarray,  # uint16[max_reads]; padding entries are 0
     n_bases: jnp.ndarray,  # int32 scalar
     *,
     config: MapperConfig,
-    seed1: int,
-    seed2: int,
+    max_probe: int,
+    seed: int,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (counts', n_valid_windows uint32)."""
     k, buf = config.k, config.buf
@@ -68,11 +77,19 @@ def chunk_step(
     starts = jnp.cumsum(lengths) - lengths  # exclusive prefix sum
     valid = hashing.window_mask(starts, n_bases, k, buf)
     n_valid = jnp.sum(valid.astype(jnp.uint32))
-    accumulate = probe.ACCUMULATORS[config.accumulate]
 
-    def probe_and_count(counts, q_lo, q_hi):
-        bucket, mask = probe.probe_hits(rows, q_lo, q_hi, seed1, seed2)
-        return accumulate(counts, bucket, mask, valid)
+    if config.probe == "stream":
+        def probe_and_count(counts, q_lo, q_hi):
+            return stream_probe.stream_probe_count(
+                key_lo, key_hi, counts, q_lo, q_hi, valid,
+                seed, max_probe, interpret=config.interpret,
+            )
+    else:
+        accumulate = probe.ACCUMULATORS[config.accumulate]
+
+        def probe_and_count(counts, q_lo, q_hi):
+            bucket, mask = probe.probe_hits(key_lo, key_hi, q_lo, q_hi, max_probe, seed)
+            return accumulate(counts, bucket, mask, valid)
 
     lo, hi = hashing.rolling_kmer_hash(codes, k)
     counts = probe_and_count(counts, lo, hi)
@@ -82,10 +99,20 @@ def chunk_step(
     return counts, n_valid
 
 
-def make_step(config: MapperConfig, seed1: int, seed2: int):
+def make_step(config: MapperConfig, max_probe: int, seed: int):
     """Compile the chunk step; count state donated for in-place accumulation."""
-    fn = functools.partial(chunk_step, config=config, seed1=seed1, seed2=seed2)
-    return jax.jit(fn, donate_argnums=(1,))
+    fn = functools.partial(chunk_step, config=config, max_probe=max_probe, seed=seed)
+    return jax.jit(fn, donate_argnums=(2,))
+
+
+def default_config(**kwargs) -> MapperConfig:
+    """MapperConfig with backend-appropriate defaults: the stream kernel runs
+    compiled on TPU and in interpreter mode elsewhere (CPU tests/fallback)."""
+    on_tpu = jax.default_backend() == "tpu"
+    kwargs.setdefault("probe", "stream" if on_tpu else "gather")
+    if kwargs["probe"] == "stream":
+        kwargs.setdefault("interpret", not on_tpu)
+    return MapperConfig(**kwargs)
 
 
 class KmerMapper:
@@ -101,9 +128,10 @@ class KmerMapper:
         self.index = index
         self.config = config
         put = functools.partial(jax.device_put, device=device)
-        self.rows = put(index.table.rows)
+        self.key_lo = put(index.table.key_lo)
+        self.key_hi = put(index.table.key_hi)
         self.counts = put(jnp.zeros(index.table.n_slots, dtype=jnp.uint32))
-        self._step = make_step(config, index.table.seed1, index.table.seed2)
+        self._step = make_step(config, index.table.max_probe, index.table.seed)
         self._stats: list[jnp.ndarray] = []  # per-chunk n_valid device scalars
         self._total_kmers = 0
         self.n_invalid_bases = 0
@@ -112,7 +140,8 @@ class KmerMapper:
         self, packed: np.ndarray, lengths: np.ndarray, n_bases: int, n_invalid: int = 0
     ) -> None:
         self.counts, n_valid = self._step(
-            self.rows,
+            self.key_lo,
+            self.key_hi,
             self.counts,
             jnp.asarray(packed),
             jnp.asarray(lengths),
@@ -134,12 +163,14 @@ class KmerMapper:
         from ..ops.u32hash import split_u64
 
         lo, hi = split_u64(np.asarray(kmers, dtype=np.uint64))
+        table = self.index.table
         bucket, mask = probe.probe_hits(
-            self.rows,
+            self.key_lo,
+            self.key_hi,
             jnp.asarray(lo),
             jnp.asarray(hi),
-            self.index.table.seed1,
-            self.index.table.seed2,
+            table.max_probe,
+            table.seed,
         )
         acc = probe.ACCUMULATORS[self.config.accumulate]
         self.counts = acc(self.counts, bucket, mask, jnp.ones(len(lo), dtype=bool))

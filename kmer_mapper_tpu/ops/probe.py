@@ -1,87 +1,86 @@
-"""Device-side cuckoo-table probe and count accumulation.
+"""Device-side gather probe and count accumulation (XLA path).
 
-TPU-native equivalent of both hot kernels of the reference: the Cython bucket
-scan (``kmer_mapper/mapper.pyx:53-69``) and the CUDA ``cucounter`` atomic
-counter (``kmer_mapper/gpu_counter.py:23-24``).
-
-Probe: exactly two (n, 8)-uint32 row gathers per query — the measured optimum
-on v5e (see ``index/layout.py``). Each row holds 4 candidate keys as word
-halves; matching is pure VPU compares. No data-dependent control flow: absent
-keys simply never match.
+TPU-native equivalent of the reference's hot kernels (Cython bucket scan,
+``kmer_mapper/mapper.pyx:53-69``; CUDA ``cucounter`` atomic counter,
+``kmer_mapper/gpu_counter.py:23-24``), probing the block-chained layout of
+``index/layout.py`` with per-round row gathers. This is the fallback path —
+CPU execution, the sharded step, and pre-hashed queries; the default TPU path
+is the sort+stream MXU kernel in ``ops/stream_probe.py``.
 
 Counting: TPU exposes no atomics at the XLA level; instead of cucounter's
-``atomicAdd`` the accumulator is a scatter-add. Three strategies (selected per
-measured throughput on the target chip):
-  * ``scatter`` — element scatter-add with duplicate indices;
-  * ``sorted``  — sort + run-length-encode + unique-index scatter;
-  * ``rowscatter`` — scatter whole 4-wide one-hot bucket rows (counts laid out
-    (n_buckets, BUCKET_KEYS)), riding the same fast row path as gathers.
+``atomicAdd`` the accumulator is a scatter-add (``scatter`` duplicate-index
+variant, or ``sorted`` sort+RLE+unique-scatter), selected per measured
+throughput. The stream path needs neither — its counts are accumulated inside
+the kernel's VMEM tiles.
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
 
-from ..index.layout import BUCKET_KEYS
+from ..index.layout import BUCKET_KEYS, CHAIN_BLOCK
 from .u32hash import bucket_of
 
 
-def _match_rows(rows, q_lo, q_hi):
-    """rows (n, 2*BUCKET_KEYS) vs queries -> bool mask (n, BUCKET_KEYS)."""
-    return (rows[:, :BUCKET_KEYS] == q_lo[:, None]) & (
-        rows[:, BUCKET_KEYS:] == q_hi[:, None]
-    )
+def chain_next(b: jnp.ndarray, step: int, n_buckets: int) -> jnp.ndarray:
+    """jnp twin of ``layout.chain_next`` (wrap inside aligned chain blocks)."""
+    block = min(CHAIN_BLOCK, n_buckets)
+    return (b & ~jnp.int32(block - 1)) | ((b + step) & jnp.int32(block - 1))
 
 
 def probe_hits(
-    rows_ref: jnp.ndarray,  # uint32[n_local_buckets, 2*BUCKET_KEYS]
+    key_lo: jnp.ndarray,  # uint32[n_local_buckets, BUCKET_KEYS]
+    key_hi: jnp.ndarray,
     q_lo: jnp.ndarray,  # uint32[n]
     q_hi: jnp.ndarray,
-    seed1: int,
-    seed2: int,
+    max_probe: int,
+    seed: int,
     n_buckets_global: int | None = None,
     row_offset=0,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(bucket int32[n] local bucket id or 0, mask uint32[n, BUCKET_KEYS]).
 
     ``mask`` is the per-lane one-hot hit indicator (all-zero for misses or for
-    queries owned by another shard). Single-device: table holds all buckets.
-    Sharded: the shard owns buckets [row_offset, row_offset + n_local); bucket
-    ids are computed against the global bucket count and out-of-range rows are
-    masked (a key lives in exactly one shard's row, so counts never double)."""
-    n_local = rows_ref.shape[0]
+    queries owned by another shard). Single-device: the table arrays hold all
+    buckets. Sharded: the shard owns buckets [row_offset, row_offset +
+    n_local); bucket ids are computed against the global bucket count and
+    out-of-range rows are masked. Chains wrap inside CHAIN_BLOCK-aligned
+    blocks, so with block-aligned shards a chain never crosses shards and no
+    key can be double-counted."""
+    n_local = key_lo.shape[0]
     if n_buckets_global is None:
         n_buckets_global = n_local
+    b0 = bucket_of(q_lo, q_hi, n_buckets_global, seed=seed, xp=jnp).astype(jnp.int32)
     bucket = jnp.zeros(q_lo.shape, dtype=jnp.int32)
     mask = jnp.zeros((q_lo.shape[0], BUCKET_KEYS), dtype=bool)
-    found = jnp.zeros(q_lo.shape, dtype=bool)
-    for seed in (seed1, seed2):
-        b_g = bucket_of(q_lo, q_hi, n_buckets_global, seed=seed, xp=jnp).astype(jnp.int32)
+    for p in range(max_probe):
+        b_g = chain_next(b0, p, n_buckets_global)
         b_l = b_g - row_offset
         in_range = (b_l >= 0) & (b_l < n_local)
         b_safe = jnp.where(in_range, b_l, 0)
-        rows = rows_ref[b_safe]
-        m = _match_rows(rows, q_lo, q_hi) & in_range[:, None]
+        kl = key_lo[b_safe]  # (n, BUCKET_KEYS) row gather
+        kh = key_hi[b_safe]
+        m = (kl == q_lo[:, None]) & (kh == q_hi[:, None]) & in_range[:, None]
         hit = m.any(axis=1)
-        take = hit & ~found
-        bucket = jnp.where(take, b_safe, bucket)
-        mask = jnp.where(take[:, None], m, mask)
-        found = found | hit
+        # keys are unique in the table: at most one (bucket, lane) matches
+        bucket = jnp.where(hit, b_safe, bucket)
+        mask = mask | m
     return bucket, mask.astype(jnp.uint32)
 
 
 def probe_slots(
-    rows_ref: jnp.ndarray,
+    key_lo: jnp.ndarray,
+    key_hi: jnp.ndarray,
     q_lo: jnp.ndarray,
     q_hi: jnp.ndarray,
-    seed1: int,
-    seed2: int,
+    max_probe: int,
+    seed: int,
     n_buckets_global: int | None = None,
     row_offset=0,
 ) -> jnp.ndarray:
     """Local table slot (bucket * BUCKET_KEYS + lane) per query, or -1."""
     bucket, mask = probe_hits(
-        rows_ref, q_lo, q_hi, seed1, seed2, n_buckets_global, row_offset
+        key_lo, key_hi, q_lo, q_hi, max_probe, seed, n_buckets_global, row_offset
     )
     any_hit = mask.any(axis=1)
     lane = jnp.argmax(mask, axis=1).astype(jnp.int32)
@@ -119,18 +118,4 @@ def accumulate_sorted(counts, bucket, mask, valid):
     return counts.at[target].add(jnp.where(first, len_here, 0), mode="drop")
 
 
-def accumulate_rowscatter(counts, bucket, mask, valid):
-    """Scatter whole one-hot bucket rows: same fast row path as gathers."""
-    n_slots = counts.shape[0]
-    rows2d = counts.reshape(-1, BUCKET_KEYS)
-    updates = mask * valid[:, None].astype(jnp.uint32)
-    # misses scatter a zero row into bucket 0 (harmless)
-    out = rows2d.at[bucket].add(updates, mode="drop")
-    return out.reshape(n_slots)
-
-
-ACCUMULATORS = {
-    "scatter": accumulate_scatter,
-    "sorted": accumulate_sorted,
-    "rowscatter": accumulate_rowscatter,
-}
+ACCUMULATORS = {"scatter": accumulate_scatter, "sorted": accumulate_sorted}

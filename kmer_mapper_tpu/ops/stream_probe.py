@@ -1,0 +1,247 @@
+"""Sort + stream probe: the default TPU counting path.
+
+Replaces random-access hash probing (and its scatter-add counterpart) with
+streaming — the shape TPUs are built for:
+
+1. Queries are sorted by bucket id (one multi-operand XLA sort; invalid
+   windows get bucket 0xFFFFFFFF and fall off the end).
+2. ``jnp.searchsorted`` finds each CHAIN_BLOCK-aligned table block's query
+   range.
+3. A Pallas kernel walks the table tile-by-tile (auto-pipelined VMEM tiles),
+   DMAs the cap-query tiles overlapping each block's sorted query range from
+   HBM, and resolves the per-query "gather" with a **one-hot matmul on the
+   MXU**: ``table_halvesᵀ ⨯ one_hot(bucket)`` fetches each query's 8 candidate
+   keys; the hit mask is pure VPU compares; a second matmul turns hits into
+   per-slot count contributions accumulated directly into the VMEM counts
+   tile. Queries sit on the MXU lane dimension throughout, so no transposes or
+   reshapes are needed (Mosaic supports neither on the minor dims).
+
+No gathers, no scatters, no host syncs: HBM sees only sequential streams. The
+measured v5e gather path costs ~6 ns/row; this path amortizes to the sort's
+cost per query. Collision chains wrap inside CHAIN_BLOCK-aligned blocks
+(``index/layout.py``), so tiles are self-contained; chain offsets are handled
+by circularly rolling the table tile and re-using the same one-hot matrix.
+
+Exactness: all matmul operands are exact small integers in f32 (one-hot 0/1,
+16-bit key halves, hit flags); every sum either has a single nonzero term or
+is bounded by the query tile size, far below 2^24 — bit-exact by construction.
+
+Skew robustness: each block's query range is processed in whole cap-sized
+tiles with a data-dependent ``fori_loop`` trip count and position masking, so
+heavy duplicate kmers (e.g. poly-A after the reference's N->A substitution)
+simply take more iterations — no overflow or fallback cases.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..index.layout import BUCKET_KEYS, CHAIN_BLOCK
+from .u32hash import bucket_of
+
+INVALID_BUCKET = jnp.uint32(0xFFFFFFFF)
+DEFAULT_CAP = 2048  # queries per kernel tile (MXU lane-dim extent)
+
+
+def sort_queries(q_lo, q_hi, valid, n_buckets: int, seed: int):
+    """(sorted_bucket u32, sorted_lo, sorted_hi); invalid queries sort last."""
+    b = bucket_of(q_lo, q_hi, n_buckets, seed=seed, xp=jnp)
+    b = jnp.where(valid, b, INVALID_BUCKET)
+    return lax.sort((b, q_lo, q_hi), dimension=0, num_keys=1)
+
+
+def block_offsets(sorted_b, n_buckets: int, block: int):
+    """int32[n_blocks + 1] query-range bounds per table block."""
+    n_blocks = max(1, n_buckets // block)
+    bounds = (jnp.arange(n_blocks + 1, dtype=jnp.uint32)) * jnp.uint32(block)
+    return jnp.searchsorted(sorted_b, bounds).astype(jnp.int32)
+
+
+def _bytes8(lo, hi):
+    """(lo, hi) uint32 words -> 8 byte planes as f32.
+
+    Bytes (<= 255) are exactly representable in bfloat16: the MXU on TPU runs
+    "f32" matmuls as single-pass bf16 multiplies (f32 accumulate), so matmul
+    operands must survive bf16 rounding — 16-bit halves do not, bytes do.
+    Casts go via int32 (Mosaic has no direct uint32->float32 cast)."""
+    planes = []
+    for word in (lo, hi):
+        for shift in (0, 8, 16, 24):
+            planes.append(
+                ((word >> shift) & jnp.uint32(0xFF)).astype(jnp.int32).astype(jnp.float32)
+            )
+    return planes
+
+
+def _table_bytes(key_lo, key_hi):
+    """(BPB, BUCKET_KEYS) lo/hi words -> (BPB, 8*BUCKET_KEYS) f32 byte planes,
+    plane-major: columns [pK:(p+1)K] = byte plane p (lo bytes 0-3, hi bytes 0-3)."""
+    return jnp.concatenate(_bytes8(key_lo, key_hi), axis=1)
+
+
+def _kernel(
+    off_ref,  # scalar-prefetch int32[n_blocks + 1]
+    key_lo_ref,  # VMEM (BPB, K)
+    key_hi_ref,
+    counts_in_ref,  # VMEM (BPB, K) uint32, aliased with output
+    qb_hbm,  # ANY (n_tiles, cap) uint32 sorted buckets
+    qlo_hbm,
+    qhi_hbm,
+    counts_out_ref,  # VMEM (BPB, K)
+    qb_s,  # scratch VMEM (1, cap)
+    qlo_s,
+    qhi_s,
+    sems,  # DMA semaphores (3,)
+    *,
+    cap: int,
+    bpb: int,
+    max_probe: int,
+):
+    i = pl.program_id(0)
+    start = off_ref[i]
+    end = off_ref[i + 1]
+    counts_out_ref[...] = counts_in_ref[...]
+    tb = _table_bytes(key_lo_ref[...], key_hi_ref[...])  # (BPB, 8K)
+    base_bucket = jnp.int32(i * bpb)
+    rows = lax.broadcasted_iota(jnp.int32, (bpb, cap), 0)
+    lane_pos = lax.broadcasted_iota(jnp.int32, (1, cap), 1)
+    K = BUCKET_KEYS
+    t0 = start // cap
+
+    def body(j, _):
+        t = t0 + j
+        copies = [
+            pltpu.make_async_copy(hbm.at[t], dst, sems.at[n])
+            for n, (hbm, dst) in enumerate(
+                [(qb_hbm, qb_s), (qlo_hbm, qlo_s), (qhi_hbm, qhi_s)]
+            )
+        ]
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+        pos = t * cap + lane_pos  # (1, cap)
+        live = (pos >= start) & (pos < end)
+        local_b = qb_s[...].astype(jnp.int32) - base_bucket  # (1, cap)
+        live = live & (local_b >= 0) & (local_b < bpb)
+        # one-hot with queries on the lane dim: (bpb, cap)
+        one_hot = ((rows == local_b) & live).astype(jnp.float32)
+        qh = _bytes8(qlo_s[...], qhi_s[...])  # 8 x (1, cap)
+        contrib = jnp.zeros((bpb, K), dtype=jnp.float32)
+        for p in range(max_probe):
+            tbp = tb if p == 0 else jnp.roll(tb, -p, axis=0)
+            # per-query candidate key bytes: (8K, cap) = tbpᵀ ⨯ one_hot
+            g = lax.dot_general(
+                tbp,
+                one_hot,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            hits = live
+            for plane in range(8):
+                hits = hits & (g[plane * K : (plane + 1) * K, :] == qh[plane])
+            # (K, cap)
+            c = lax.dot_general(
+                one_hot,
+                hits.astype(jnp.float32),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (bpb, K)
+            contrib = contrib + (c if p == 0 else jnp.roll(c, p, axis=0))
+        counts_out_ref[...] = counts_out_ref[...] + contrib.astype(jnp.int32).astype(
+            jnp.uint32
+        )
+        return 0
+
+    t1 = (end + cap - 1) // cap
+    lax.fori_loop(0, lax.max(jnp.int32(0), t1 - t0), body, 0)
+
+
+def stream_count(
+    key_lo: jnp.ndarray,  # uint32[n_buckets, K]
+    key_hi: jnp.ndarray,
+    counts: jnp.ndarray,  # uint32[n_slots] flat
+    sorted_b: jnp.ndarray,  # uint32[N] (sorted)
+    sorted_lo: jnp.ndarray,
+    sorted_hi: jnp.ndarray,
+    off: jnp.ndarray,  # int32[n_blocks + 1]
+    max_probe: int,
+    cap: int = DEFAULT_CAP,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """counts += histogram of table hits among the sorted queries."""
+    n_buckets = key_lo.shape[0]
+    bpb = min(CHAIN_BLOCK, n_buckets)
+    n_blocks = n_buckets // bpb
+    n = sorted_b.shape[0]
+    pad = (-n) % cap
+    if pad:
+        sorted_b = jnp.concatenate([sorted_b, jnp.full(pad, INVALID_BUCKET)])
+        sorted_lo = jnp.concatenate([sorted_lo, jnp.zeros(pad, jnp.uint32)])
+        sorted_hi = jnp.concatenate([sorted_hi, jnp.zeros(pad, jnp.uint32)])
+    n_tiles = (n + pad) // cap
+    counts2d = counts.reshape(n_buckets, BUCKET_KEYS)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((bpb, BUCKET_KEYS), lambda i, off: (i, 0)),
+            pl.BlockSpec((bpb, BUCKET_KEYS), lambda i, off: (i, 0)),
+            pl.BlockSpec((bpb, BUCKET_KEYS), lambda i, off: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_specs=pl.BlockSpec((bpb, BUCKET_KEYS), lambda i, off: (i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((1, cap), jnp.uint32),
+            pltpu.VMEM((1, cap), jnp.uint32),
+            pltpu.VMEM((1, cap), jnp.uint32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    kernel = functools.partial(_kernel, cap=cap, bpb=bpb, max_probe=max_probe)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_buckets, BUCKET_KEYS), jnp.uint32),
+        input_output_aliases={3: 0},  # counts2d (arg 3 incl. scalar prefetch)
+        interpret=interpret,
+    )(
+        off,
+        key_lo,
+        key_hi,
+        counts2d,
+        sorted_b.reshape(n_tiles, 1, cap),
+        sorted_lo.reshape(n_tiles, 1, cap),
+        sorted_hi.reshape(n_tiles, 1, cap),
+    )
+    return out.reshape(-1)
+
+
+def stream_probe_count(
+    key_lo,
+    key_hi,
+    counts,
+    q_lo,
+    q_hi,
+    valid,
+    seed: int,
+    max_probe: int,
+    cap: int = DEFAULT_CAP,
+    interpret: bool = False,
+):
+    """Full stream path: sort -> block offsets -> stream kernel."""
+    n_buckets = key_lo.shape[0]
+    sb, slo, shi = sort_queries(q_lo, q_hi, valid, n_buckets, seed)
+    bpb = min(CHAIN_BLOCK, n_buckets)
+    off = block_offsets(sb, n_buckets, bpb)
+    return stream_count(
+        key_lo, key_hi, counts, sb, slo, shi, off, max_probe, cap=cap, interpret=interpret
+    )

@@ -24,17 +24,21 @@ from .mesh import DATA_AXIS, INDEX_AXIS
 
 
 def make_sharded_step(
-    mesh: Mesh, config: MapperConfig, n_buckets: int, seed1: int, seed2: int
+    mesh: Mesh, config: MapperConfig, n_buckets: int, max_probe: int, seed: int
 ):
     """Compile the multi-device chunk step.
 
     Global shapes (D = data axis size, S = total table slots):
       counts  uint32[D, S]            sharded (data, index)   -- donated
-      rows    uint32[n_buckets, 8]    sharded (index, None)
+      key_lo  uint32[n_buckets, 8]    sharded (index, None)
+      key_hi  uint32[n_buckets, 8]    sharded (index, None)
       packed  uint32[D, packed_words] sharded (data, None)
       lengths uint16[D, max_reads]    sharded (data, None)
       n_bases int32[D]                sharded (data,)
     Returns (counts', n_valid uint32[D]).
+
+    Shard boundaries are CHAIN_BLOCK-aligned (power-of-two bucket counts over
+    power-of-two index axes), so collision chains never cross shards.
     """
     n_index = mesh.shape[INDEX_AXIS]
     assert n_buckets % n_index == 0
@@ -42,7 +46,7 @@ def make_sharded_step(
     accumulate = probe.ACCUMULATORS[config.accumulate]
     k, buf = config.k, config.buf
 
-    def local_step(counts, rows, packed, lengths, n_bases):
+    def local_step(counts, key_lo, key_hi, packed, lengths, n_bases):
         x = jax.lax.axis_index(INDEX_AXIS)
         row_offset = (x * nb_local).astype(jnp.int32)
         codes = encode.unpack_codes(packed[0])[: buf + k]
@@ -54,11 +58,12 @@ def make_sharded_step(
 
         def probe_and_count(c, q_lo, q_hi):
             bucket, mask = probe.probe_hits(
-                rows,
+                key_lo,
+                key_hi,
                 q_lo,
                 q_hi,
-                seed1,
-                seed2,
+                max_probe,
+                seed,
                 n_buckets_global=n_buckets,
                 row_offset=row_offset,
             )
@@ -76,6 +81,7 @@ def make_sharded_step(
         mesh=mesh,
         in_specs=(
             P(DATA_AXIS, INDEX_AXIS),
+            P(INDEX_AXIS, None),
             P(INDEX_AXIS, None),
             P(DATA_AXIS, None),
             P(DATA_AXIS, None),
@@ -116,13 +122,14 @@ class ShardedKmerMapper:
         def put(arr, spec):
             return jax.device_put(arr, NamedSharding(mesh, spec))
 
-        self.rows = put(table.rows, P(INDEX_AXIS, None))
+        self.key_lo = put(table.key_lo, P(INDEX_AXIS, None))
+        self.key_hi = put(table.key_hi, P(INDEX_AXIS, None))
         self.counts = put(
             jnp.zeros((self.n_data, table.n_slots), dtype=jnp.uint32),
             P(DATA_AXIS, INDEX_AXIS),
         )
         self._step = make_sharded_step(
-            mesh, config, table.n_buckets, table.seed1, table.seed2
+            mesh, config, table.n_buckets, table.max_probe, table.seed
         )
         self._stats: list = []
         self._total_kmers = 0
@@ -141,7 +148,8 @@ class ShardedKmerMapper:
         n_bases int32[D]. Short final batches are padded with empty rows."""
         self.counts, n_valid = self._step(
             self.counts,
-            self.rows,
+            self.key_lo,
+            self.key_hi,
             jax.device_put(packed_batch, self._spec_row),
             jax.device_put(lengths_batch, self._spec_row),
             jax.device_put(n_bases, self._spec_scalar),

@@ -25,7 +25,7 @@ import numpy as np
 
 from .index.kmer_index import TpuKmerIndex, load_index
 from .io import readers
-from .models.mapper import KmerMapper, MapperConfig
+from .models.mapper import KmerMapper, MapperConfig, default_config
 from .utils.timing import log_memory_usage_now, span
 
 logger = logging.getLogger(__name__)
@@ -149,7 +149,7 @@ def make_mapper_and_chunks(
 ) -> tuple[KmerMapper, Iterable]:
     """Build the device mapper plus the packed host chunk iterator."""
     buf = _round_up(max(chunk_size, 1 << 16), 1 << 13)
-    config = MapperConfig(
+    config = default_config(
         k=k,
         buf=buf,
         max_reads=max(1024, buf // 32),
@@ -177,7 +177,7 @@ def map_sequences(
         read_starts=(np.cumsum([0] + [len(s) for s in sequences[:-1]])).astype(np.int64),
     )
     buf = _round_up(max(len(flat), 1 << 10), 1 << 10)
-    config = MapperConfig(k=k, buf=buf, max_reads=max(16, len(sequences)), **kwargs)
+    config = default_config(k=k, buf=buf, max_reads=max(16, len(sequences)), **kwargs)
     mapper = KmerMapper(index, config)
     for packed, lengths, n_bases, _, n_invalid in readers.pack_for_device(
         iter([chunk]), config.buf, config.max_reads, config.k

@@ -91,18 +91,19 @@ def test_probe_matches_host_query():
     qlo, qhi = split_u64(queries)
     got = np.asarray(
         probe.probe_slots(
-            jnp.asarray(table.rows),
+            jnp.asarray(table.key_lo),
+            jnp.asarray(table.key_hi),
             jnp.asarray(qlo),
             jnp.asarray(qhi),
-            table.seed1,
-            table.seed2,
+            table.max_probe,
+            table.seed,
         )
     )
     expect = layout.query_table(table, queries)
     np.testing.assert_array_equal(got, expect)
 
 
-@pytest.mark.parametrize("method", ["scatter", "sorted", "rowscatter"])
+@pytest.mark.parametrize("method", ["scatter", "sorted"])
 def test_accumulators_match_bincount(method):
     rng = np.random.default_rng(4)
     n_buckets = 16
@@ -134,7 +135,7 @@ def _pack_reads(reads: list[str], config: MapperConfig):
     return packed, lengths, len(flat), n_invalid
 
 
-@pytest.mark.parametrize("accumulate", ["scatter", "sorted", "rowscatter"])
+@pytest.mark.parametrize("accumulate", ["scatter", "sorted"])
 def test_full_chunk_step_matches_oracle(accumulate):
     rng = np.random.default_rng(5)
     k = 7

@@ -27,15 +27,27 @@ def test_table_build_and_query_roundtrip():
     np.testing.assert_array_equal(layout.query_table(table, absent), -1)
 
 
-def test_table_build_high_load_cuckoo_eviction():
+def test_table_build_high_load_chaining():
     rng = np.random.default_rng(2)
     keys = np.unique(rng.integers(0, 1 << 62, 4096, dtype=np.uint64))
-    # ~90% load factor forces cuckoo kicks during build
-    n_buckets = layout._next_pow2(int(np.ceil(len(keys) / layout.BUCKET_KEYS / 0.9)))
+    # ~85% load factor forces collision chains (wrapping inside chain blocks)
+    n_buckets = layout._next_pow2(int(np.ceil(len(keys) / layout.BUCKET_KEYS / 0.85)))
     table = layout.build_table(keys, n_buckets=n_buckets)
+    assert table.max_probe > 1
     slots = layout.query_table(table, keys)
     assert (slots >= 0).all()
     assert len(np.unique(slots)) == len(keys)
+
+
+def test_chain_next_wraps_within_block():
+    n_buckets = 4 * layout.CHAIN_BLOCK
+    b = np.array([0, layout.CHAIN_BLOCK - 1, layout.CHAIN_BLOCK, n_buckets - 1])
+    stepped = layout.chain_next(b, 1, n_buckets)
+    np.testing.assert_array_equal(
+        stepped, [1, 0, layout.CHAIN_BLOCK + 1, n_buckets - layout.CHAIN_BLOCK]
+    )
+    # small tables wrap within the whole table
+    np.testing.assert_array_equal(layout.chain_next(np.array([7]), 1, 8), [0])
 
 
 def test_reference_npz_roundtrip(tmp_path):
@@ -98,7 +110,9 @@ def test_tpuidx_file_roundtrip(tmp_path):
     path = tmp_path / "index.tpuidx.npz"
     tpu.to_file(path)
     loaded = ki.load_index(path)
-    np.testing.assert_array_equal(loaded.table.rows, tpu.table.rows)
+    np.testing.assert_array_equal(loaded.table.key_lo, tpu.table.key_lo)
+    np.testing.assert_array_equal(loaded.table.key_hi, tpu.table.key_hi)
+    assert loaded.table.max_probe == tpu.table.max_probe
     np.testing.assert_array_equal(loaded.entry_slot, tpu.entry_slot)
     assert loaded.max_node_id == tpu.max_node_id
 

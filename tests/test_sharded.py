@@ -84,10 +84,10 @@ def test_sharded_revcomp_and_frequency():
     np.testing.assert_array_equal(mapper.node_counts(), expect)
 
 
-def test_sharded_probe_bucket_choices_span_shards():
-    """With 8 index shards and a high-load table, a key's two cuckoo bucket
-    choices routinely live on different shards; every key must count exactly
-    once."""
+def test_sharded_probe_chained_high_load():
+    """High-load table -> long collision chains; with 8 index shards every key
+    must still count exactly once (chains wrap inside CHAIN_BLOCK-aligned
+    blocks, so block-aligned shards contain them fully)."""
     rng = np.random.default_rng(3)
     keys = np.unique(rng.integers(0, 1 << 62, 2048, dtype=np.uint64))
     n_buckets = layout._next_pow2(int(np.ceil(len(keys) / layout.BUCKET_KEYS / 0.85)))

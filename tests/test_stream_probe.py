@@ -1,0 +1,152 @@
+"""Stream (sort + MXU one-hot) probe kernel vs oracle — interpreter mode on CPU.
+
+The same kernel runs compiled on TPU (bench.py measures it); these tests pin
+its semantics bit-exactly: hits, misses, heavy duplicates (poly-A style skew),
+invalid-window masking, chain wrapping, accumulation across calls, and the
+full chunk step in stream mode.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kmer_mapper_tpu import oracle
+from kmer_mapper_tpu.index import kmer_index as ki
+from kmer_mapper_tpu.index import layout
+from kmer_mapper_tpu.models.mapper import KmerMapper, MapperConfig
+from kmer_mapper_tpu.ops import encode, stream_probe
+from kmer_mapper_tpu.ops.u32hash import split_u64
+
+
+def _run_stream(table, queries, valid, counts0=None, cap=512):
+    qlo, qhi = split_u64(queries)
+    counts = jnp.asarray(
+        counts0 if counts0 is not None else np.zeros(table.n_slots, np.uint32)
+    )
+    out = stream_probe.stream_probe_count(
+        jnp.asarray(table.key_lo),
+        jnp.asarray(table.key_hi),
+        counts,
+        jnp.asarray(qlo),
+        jnp.asarray(qhi),
+        jnp.asarray(valid),
+        table.seed,
+        table.max_probe,
+        cap=cap,
+        interpret=True,
+    )
+    return np.asarray(out)
+
+
+def _expect(table, queries, valid, counts0=None):
+    slots = layout.query_table(table, np.asarray(queries)[valid])
+    base = counts0 if counts0 is not None else np.zeros(table.n_slots, np.uint32)
+    return base + np.bincount(slots[slots >= 0], minlength=table.n_slots).astype(
+        np.uint32
+    )
+
+
+def test_stream_probe_hits_misses_and_masking():
+    rng = np.random.default_rng(0)
+    keys = np.unique(rng.integers(0, 1 << 62, 20000, dtype=np.uint64))
+    table = layout.build_table(keys)
+    queries = np.concatenate(
+        [rng.choice(keys, 4000), rng.integers(0, 1 << 62, 3000, dtype=np.uint64)]
+    )
+    rng.shuffle(queries)
+    valid = rng.random(len(queries)) < 0.85
+    np.testing.assert_array_equal(
+        _run_stream(table, queries, valid), _expect(table, queries, valid)
+    )
+
+
+def test_stream_probe_heavy_duplicates_skew():
+    """A single kmer repeated far beyond the kernel's per-tile capacity (the
+    poly-A case) must still count exactly (dynamic per-block iteration)."""
+    rng = np.random.default_rng(1)
+    keys = np.unique(rng.integers(0, 1 << 62, 2000, dtype=np.uint64))
+    table = layout.build_table(keys)
+    queries = np.concatenate(
+        [np.full(5000, keys[3], np.uint64), rng.choice(keys, 500)]
+    )
+    valid = np.ones(len(queries), bool)
+    got = _run_stream(table, queries, valid, cap=256)
+    expect = _expect(table, queries, valid)
+    np.testing.assert_array_equal(got, expect)
+    slot3 = layout.query_table(table, keys[3:4])[0]
+    assert got[slot3] >= 5000
+
+
+def test_stream_probe_accumulates_into_existing_counts():
+    rng = np.random.default_rng(2)
+    keys = np.unique(rng.integers(0, 1 << 62, 5000, dtype=np.uint64))
+    table = layout.build_table(keys)
+    counts0 = rng.integers(0, 7, table.n_slots).astype(np.uint32)
+    queries = rng.choice(keys, 2000)
+    valid = np.ones(len(queries), bool)
+    np.testing.assert_array_equal(
+        _run_stream(table, queries, valid, counts0=counts0.copy()),
+        _expect(table, queries, valid, counts0=counts0),
+    )
+
+
+def test_stream_probe_chained_table():
+    """High-load table with wrapped collision chains: keys stored at probe
+    offsets > 0 are found via the rolled-tile matmuls."""
+    rng = np.random.default_rng(3)
+    keys = np.unique(rng.integers(0, 1 << 62, 4000, dtype=np.uint64))
+    n_buckets = layout._next_pow2(int(np.ceil(len(keys) / layout.BUCKET_KEYS / 0.8)))
+    table = layout.build_table(keys, n_buckets=n_buckets)
+    assert table.max_probe > 1
+    queries = np.concatenate([keys, rng.integers(0, 1 << 62, 1000, dtype=np.uint64)])
+    valid = np.ones(len(queries), bool)
+    np.testing.assert_array_equal(
+        _run_stream(table, queries, valid), _expect(table, queries, valid)
+    )
+
+
+def test_stream_probe_tiny_table():
+    keys = np.array([5, 9, 1 << 40], dtype=np.uint64)
+    table = layout.build_table(keys)
+    queries = np.array([5, 5, 9, 123, 1 << 40], dtype=np.uint64)
+    valid = np.ones(5, bool)
+    np.testing.assert_array_equal(
+        _run_stream(table, queries, valid, cap=8), _expect(table, queries, valid)
+    )
+
+
+def _pack_reads(reads, config):
+    flat = "".join(reads)
+    bases = np.frombuffer(flat.encode(), dtype=np.uint8)
+    packed, n_invalid = encode.host_encode_pack(bases, config.packed_words)
+    lengths = np.zeros(config.max_reads, dtype=np.uint16)
+    lengths[: len(reads)] = [len(r) for r in reads]
+    return packed, lengths, len(flat), n_invalid
+
+
+@pytest.mark.parametrize("revcomp", [False, True])
+def test_chunk_step_stream_mode_matches_oracle(revcomp):
+    rng = np.random.default_rng(7)
+    k = 9
+    reads = ["".join(rng.choice(list("ACGT"), rng.integers(6, 50))) for _ in range(80)]
+    read_codes = [oracle.encode_string(r) for r in reads]
+    fwd = oracle.kmer_hashes_ragged(
+        np.concatenate(read_codes), np.array([len(r) for r in reads]), k
+    )
+    pool = np.concatenate([fwd, oracle.revcomp_hash(fwd, k)])
+    entry_kmers = np.concatenate(
+        [rng.choice(pool, 150), rng.integers(0, 4**k, 60, dtype=np.uint64)]
+    )
+    nodes = rng.integers(0, 70, len(entry_kmers)).astype(np.int32)
+    arrays = oracle.build_kmer_index(entry_kmers, nodes, 997)
+    tpu = ki.TpuKmerIndex.from_arrays(arrays)
+
+    config = MapperConfig(
+        k=k, buf=8192, max_reads=256, revcomp=revcomp, probe="stream", interpret=True
+    )
+    mapper = KmerMapper(tpu, config)
+    mapper.map_chunk(*_pack_reads(reads, config))
+    got = mapper.node_counts()
+
+    queries = np.concatenate([fwd, oracle.revcomp_hash(fwd, k)]) if revcomp else fwd
+    expect = oracle.map_kmers_to_index(arrays, queries)
+    np.testing.assert_array_equal(got, expect)
