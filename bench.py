@@ -46,6 +46,7 @@ def main():
     t0 = time.perf_counter()
     import jax
 
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     from kmer_mapper_tpu import oracle
     from kmer_mapper_tpu.index import kmer_index as ki
     from kmer_mapper_tpu.io.readers import pack_for_device
@@ -76,8 +77,12 @@ def main():
     )
 
     results = {}
-    for accumulate in ("scatter", "sorted", "rowscatter"):
-        config = MapperConfig(k=K, buf=BUF, max_reads=BUF // 64, accumulate=accumulate)
+    variants = {
+        "stream": dict(probe="stream"),
+        "gather+scatter": dict(probe="gather", accumulate="scatter"),
+    }
+    for name, opts in variants.items():
+        config = MapperConfig(k=K, buf=BUF, max_reads=BUF // 64, **opts)
         mapper = KmerMapper(index, config)
         packed = [
             next(iter(pack_for_device(iter([c]), config.buf, config.max_reads, K)))
@@ -87,7 +92,7 @@ def main():
         t = time.perf_counter()
         mapper.map_chunk(*packed[0][:3])
         _ = mapper.n_kmers_mapped  # force execution
-        log(f"[{accumulate}] compile+first step: {time.perf_counter() - t:.1f}s")
+        log(f"[{name}] compile+first step: {time.perf_counter() - t:.1f}s")
         # steady state: async feed, one sync at the end
         before = mapper.n_kmers_mapped
         t = time.perf_counter()
@@ -96,8 +101,8 @@ def main():
             mapper.map_chunk(p, ln, nb, inv)
         kmers = mapper.n_kmers_mapped - before  # blocks on completion
         dt = time.perf_counter() - t
-        results[accumulate] = kmers / dt
-        log(f"[{accumulate}] {kmers} kmers in {dt:.3f}s = {kmers / dt / 1e6:.1f} Mkmers/s")
+        results[name] = kmers / dt
+        log(f"[{name}] {kmers} kmers in {dt:.3f}s = {kmers / dt / 1e6:.1f} Mkmers/s")
 
     best_name = max(results, key=results.get)
     device_rate = results[best_name]

@@ -1,0 +1,176 @@
+"""ctypes bindings for the native host data loader (native/kmer_host.cpp).
+
+The shared library is compiled on demand with g++ -O3 and cached next to the
+source; if no compiler is available the pipeline silently falls back to the
+vectorized numpy framer (``io/readers.py``). Both paths produce bit-identical
+buffers (tests enforce it).
+"""
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import Iterator
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_SRC = Path(__file__).resolve().parent.parent / "native" / "kmer_host.cpp"
+_LIB_PATH = _SRC.with_suffix(".so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+_ERRORS = {
+    1: "FASTA input does not start with a record header",
+    2: "malformed FASTQ: record header does not start with '@'",
+    3: "malformed FASTQ: separator line does not start with '+'",
+    4: "truncated FASTQ record at end of file",
+    5: "trailing unframed data at end of file",
+}
+
+
+class _Out(ctypes.Structure):
+    _fields_ = [
+        ("consumed", ctypes.c_int64),
+        ("n_bases", ctypes.c_int64),
+        ("n_reads", ctypes.c_int64),
+        ("n_invalid", ctypes.c_int64),
+        ("next_resume", ctypes.c_int64),
+        ("error", ctypes.c_int32),
+        ("stopped_capacity", ctypes.c_int32),
+    ]
+
+
+def _build() -> bool:
+    cmd = [
+        "g++", "-O3", "-march=native", "-shared", "-fPIC",
+        str(_SRC), "-o", str(_LIB_PATH),
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception as exc:  # no compiler / failed build -> numpy fallback
+        logger.info("native loader build failed (%s); using numpy framer", exc)
+        return False
+
+
+def get_lib():
+    """The loaded library, or None when unavailable/disabled."""
+    global _lib, _tried
+    if os.environ.get("KMT_NO_NATIVE"):
+        return None
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < _SRC.stat().st_mtime:
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(str(_LIB_PATH))
+        except OSError as exc:
+            logger.info("native loader unavailable (%s)", exc)
+            return None
+        for fn in (lib.kmh_pack_fastq, lib.kmh_pack_fasta):
+            fn.restype = None
+            fn.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint16),
+                ctypes.POINTER(_Out),
+            ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def pack_stream_native(
+    stream,
+    fmt: str,
+    max_bases: int,
+    max_reads: int,
+    k: int,
+    block_bytes: int = 2_500_000,
+) -> Iterator[tuple[np.ndarray, np.ndarray, int, int, int]]:
+    """Native analog of ``readers.read_chunks`` + ``readers.pack_for_device``:
+    stream of decompressed bytes -> fixed-shape packed device buffers
+    (packed uint32[max_bases/16+2], lengths uint16[max_reads], n_bases,
+    n_reads, n_invalid)."""
+    lib = get_lib()
+    assert lib is not None
+    fn = lib.kmh_pack_fastq if fmt == "fastq" else lib.kmh_pack_fasta
+    out_words = max_bases // 16 + 2
+    try:
+        yield from _pack_stream(stream, fn, max_bases, max_reads, k, block_bytes, out_words)
+    finally:
+        stream.close()
+
+
+def _pack_stream(stream, fn, max_bases, max_reads, k, block_bytes, out_words):
+    # A buffer is emitted only when the framer reports a capacity stop (or at
+    # eof), so chunk boundaries are identical to the numpy packer's greedy
+    # record accumulation. Until then the byte window keeps growing and is
+    # re-framed from scratch (cheap: a couple of passes per emitted buffer).
+    target = max(block_bytes, 3 * max_bases)
+    leftover = b""
+    eof = False
+    resume = 0
+
+    def fill():
+        nonlocal leftover, eof
+        while not eof and len(leftover) < target:
+            block = stream.read(block_bytes)
+            if not block:
+                eof = True
+            else:
+                leftover += block
+
+    while True:
+        fill()
+        packed = np.zeros(out_words, dtype=np.uint32)
+        lengths = np.zeros(max_reads, dtype=np.uint16)
+        out = _Out()
+        fn(
+            leftover,
+            len(leftover),
+            1 if eof else 0,
+            k,
+            resume,
+            max_bases,
+            max_reads,
+            packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            ctypes.byref(out),
+        )
+        if out.error:
+            raise ValueError(_ERRORS.get(out.error, f"native framer error {out.error}"))
+        if not out.stopped_capacity and not eof:
+            # buffer not full and more input may remain: grow the window and
+            # re-frame so chunking matches the greedy numpy packer (on stream
+            # end this re-frames once more with eof=1 for final-record rules)
+            block = stream.read(block_bytes)
+            if not block:
+                eof = True
+            else:
+                leftover += block
+            continue
+        if out.n_reads:
+            yield packed, lengths, int(out.n_bases), int(out.n_reads), int(out.n_invalid)
+        leftover = leftover[out.consumed :]
+        resume = int(out.next_resume)
+        if eof:
+            if leftover.strip():
+                if out.n_reads or out.consumed:
+                    continue  # more records remain in the leftover
+                raise ValueError("trailing unframed data at end of file")
+            return
+        if resume and not out.n_reads and not out.consumed:
+            raise AssertionError("native framer made no progress")

@@ -1,0 +1,236 @@
+// Native host-side data loader: FASTA/FASTQ record framing + 2-bit packing.
+//
+// TPU-native equivalent of the reference's native IO stack (ISA-L igzip +
+// bionumpy's vectorized record framing, kmer_mapper/util.py:78-101): a single
+// pass over decompressed bytes frames complete records, encodes ACGTN (N->A,
+// matching the reference's N substitution at command_line_interface.py:40-41),
+// counts invalid bases, packs 16 bases per uint32 word, and emits one
+// fixed-shape device buffer per call (the shapes the XLA step compiles
+// against). Partial trailing records are left unconsumed for the caller to
+// carry into the next block (the reference's "prepend mode" semantics,
+// util.py:99-100).
+//
+// Reads longer than min(65535, max_bases) are split into segments overlapping
+// by k-1 bases (exact k-mer window preservation); a record whose segments do
+// not all fit the current buffer resumes in the next one via
+// `resume_bases`/`Out::next_resume` (so whole-chromosome FASTA records stream
+// through fixed 4 MiB buffers).
+//
+// Build: g++ -O3 -march=native -shared -fPIC (see io/native.py). C ABI only.
+
+#include <cstdint>
+#include <cstring>
+
+#include <vector>
+
+namespace {
+
+struct CodeTable {
+  uint8_t code[256];
+  uint8_t invalid[256];
+  CodeTable() {
+    for (int i = 0; i < 256; ++i) { code[i] = 0; invalid[i] = 1; }
+    auto set = [&](char c, uint8_t v) {
+      code[(uint8_t)c] = v; invalid[(uint8_t)c] = 0;
+      code[(uint8_t)(c + 32)] = v; invalid[(uint8_t)(c + 32)] = 0;  // lowercase
+    };
+    set('A', 0); set('C', 1); set('G', 2); set('T', 3);
+    set('N', 0);  // N -> A, counted as valid (reference substitutes N->A)
+  }
+};
+const CodeTable kTable;
+
+enum {
+  OK = 0,
+  ERR_FASTA_NO_HEADER = 1,
+  ERR_FASTQ_BAD_HEADER = 2,
+  ERR_FASTQ_BAD_PLUS = 3,
+  ERR_FASTQ_TRUNCATED = 4,
+  ERR_TRAILING_DATA = 5,
+};
+
+struct Out {
+  int64_t consumed;     // input bytes consumed (complete records only)
+  int64_t n_bases;      // bases written to the buffer
+  int64_t n_reads;      // read segments written
+  int64_t n_invalid;    // invalid (non-ACGTN) bases encountered
+  int64_t next_resume;  // >0: bases of the first unconsumed record already emitted
+  int32_t error;
+  int32_t stopped_capacity;  // 1 = stopped because the buffer filled
+};
+
+inline int64_t strip_cr(const uint8_t* buf, int64_t s, int64_t e) {
+  return (e > s && buf[e - 1] == '\r') ? e - 1 : e;
+}
+
+// A record's sequence bytes as [start, end) line spans (heap-backed: a
+// whole-chromosome FASTA record can have millions of wrapped lines).
+struct SeqSpans {
+  std::vector<int64_t> s, e;
+  int64_t total = 0;
+  int n = 0;
+  bool add(int64_t a, int64_t b) {
+    s.push_back(a); e.push_back(b); ++n; total += b - a;
+    return true;
+  }
+};
+
+struct Packer {
+  const uint8_t* buf;
+  uint32_t* words;
+  uint16_t* lengths;
+  int64_t max_bases, max_reads, k;
+  int64_t n_bases = 0, n_reads = 0, n_invalid = 0;
+
+  int64_t cap() const { return max_bases < 65535 ? max_bases : 65535; }
+
+  void push(uint8_t byte) {
+    uint8_t c = kTable.code[byte];
+    n_invalid += kTable.invalid[byte];
+    words[n_bases >> 4] |= (uint32_t)c << ((n_bases & 15) * 2);
+    ++n_bases;
+  }
+
+  // Copy record bases [from, to) (record-relative) into the buffer as one
+  // read segment, walking the line spans.
+  void copy_segment(const SeqSpans& sp, int64_t from, int64_t to) {
+    lengths[n_reads] = (uint16_t)(to - from);
+    int64_t pos = 0;
+    for (int i = 0; i < sp.n && pos < to; ++i) {
+      int64_t len = sp.e[i] - sp.s[i];
+      int64_t lo = from > pos ? from - pos : 0;
+      int64_t hi = to - pos < len ? to - pos : len;
+      for (int64_t j = lo; j < hi; ++j) push(buf[sp.s[i] + j]);
+      pos += len;
+    }
+    ++n_reads;
+  }
+
+  // Emit the record's segments starting at `resume` emitted-bases; returns
+  // the new emitted-base count (== sp.total when the record completed).
+  int64_t emit_record(const SeqSpans& sp, int64_t resume) {
+    int64_t total = sp.total, c = cap(), step = c - (k - 1);
+    if (step <= 0) step = 1;
+    int64_t done = resume;
+    while (true) {
+      int64_t seg_start = done == 0 ? 0 : done - (k - 1);
+      int64_t seg_len = total - seg_start < c ? total - seg_start : c;
+      if (n_bases + seg_len > max_bases || n_reads + 1 > max_reads) return done;
+      copy_segment(sp, seg_start, seg_start + seg_len);
+      done = seg_start + seg_len;
+      if (done >= total) return total;
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void kmh_pack_fastq(const uint8_t* buf, int64_t len, int32_t eof, int64_t k,
+                    int64_t resume_bases, int64_t max_bases, int64_t max_reads,
+                    uint32_t* packed, uint16_t* lengths, Out* out) {
+  Packer pk{buf, packed, lengths, max_bases, max_reads, k};
+  int64_t pos = 0, resume = resume_bases;
+  out->error = OK;
+  out->stopped_capacity = 0;
+  out->next_resume = 0;
+  while (true) {
+    int64_t ls[4], le[4], cursor = pos;
+    bool complete = true;
+    for (int i = 0; i < 4; ++i) {
+      const uint8_t* nl =
+          (const uint8_t*)memchr(buf + cursor, '\n', (size_t)(len - cursor));
+      if (!nl) {
+        if (eof && i == 3 && cursor < len) {  // final line without newline
+          ls[i] = cursor; le[i] = strip_cr(buf, cursor, len); cursor = len;
+          continue;
+        }
+        complete = false;
+        break;
+      }
+      ls[i] = cursor;
+      le[i] = strip_cr(buf, cursor, nl - buf);
+      cursor = (nl - buf) + 1;
+    }
+    if (!complete) {
+      if (eof && pos < len) {
+        bool only_ws = true;
+        for (int64_t i = pos; i < len; ++i)
+          if (buf[i] != '\n' && buf[i] != '\r' && buf[i] != ' ') only_ws = false;
+        if (!only_ws) out->error = ERR_FASTQ_TRUNCATED;
+        pos = len;
+      }
+      break;
+    }
+    if (le[0] == ls[0] || buf[ls[0]] != '@') { out->error = ERR_FASTQ_BAD_HEADER; break; }
+    if (le[2] == ls[2] || buf[ls[2]] != '+') { out->error = ERR_FASTQ_BAD_PLUS; break; }
+    SeqSpans sp;
+    sp.add(ls[1], le[1]);
+    int64_t done = pk.emit_record(sp, resume);
+    if (done < sp.total) {
+      out->stopped_capacity = 1;
+      out->next_resume = done;
+      break;
+    }
+    resume = 0;
+    pos = cursor;
+  }
+  out->consumed = pos;
+  out->n_bases = pk.n_bases;
+  out->n_reads = pk.n_reads;
+  out->n_invalid = pk.n_invalid;
+}
+
+void kmh_pack_fasta(const uint8_t* buf, int64_t len, int32_t eof, int64_t k,
+                    int64_t resume_bases, int64_t max_bases, int64_t max_reads,
+                    uint32_t* packed, uint16_t* lengths, Out* out) {
+  Packer pk{buf, packed, lengths, max_bases, max_reads, k};
+  int64_t pos = 0, resume = resume_bases;
+  out->error = OK;
+  out->stopped_capacity = 0;
+  out->next_resume = 0;
+  if (len > 0 && buf[0] != '>') {
+    out->error = ERR_FASTA_NO_HEADER;
+    out->consumed = 0; out->n_bases = 0; out->n_reads = 0; out->n_invalid = 0;
+    return;
+  }
+  while (pos < len) {
+    const uint8_t* hnl =
+        (const uint8_t*)memchr(buf + pos, '\n', (size_t)(len - pos));
+    if (!hnl && !eof) break;  // incomplete header line
+    int64_t body = hnl ? (hnl - buf) + 1 : len;
+    // collect sequence line spans until the next '>' at line start (or EOF)
+    SeqSpans sp;
+    int64_t cursor = body, rec_end = -1;
+    bool spans_ok = true;
+    while (cursor < len) {
+      if (buf[cursor] == '>') { rec_end = cursor; break; }
+      const uint8_t* nl =
+          (const uint8_t*)memchr(buf + cursor, '\n', (size_t)(len - cursor));
+      int64_t line_end = nl ? (nl - buf) : len;
+      if (!nl && !eof) { spans_ok = false; break; }  // line may continue
+      spans_ok = spans_ok && sp.add(cursor, strip_cr(buf, cursor, line_end));
+      cursor = nl ? line_end + 1 : len;
+    }
+    if (!spans_ok) break;  // too many lines for one pass or incomplete: carry
+    if (rec_end < 0) {
+      if (!eof) break;  // record may continue in the next block
+      rec_end = len;
+    }
+    int64_t done = pk.emit_record(sp, resume);
+    if (done < sp.total) {
+      out->stopped_capacity = 1;
+      out->next_resume = done;
+      break;
+    }
+    resume = 0;
+    pos = rec_end;
+  }
+  out->consumed = pos;
+  out->n_bases = pk.n_bases;
+  out->n_reads = pk.n_reads;
+  out->n_invalid = pk.n_invalid;
+}
+
+}  // extern "C"

@@ -157,9 +157,23 @@ def make_mapper_and_chunks(
         accumulate=accumulate,
     )
     mapper = KmerMapper(index, config, device=device)
+    return mapper, packed_chunk_iterator(reads_path, config, chunk_size)
+
+
+def packed_chunk_iterator(reads_path: str, config: MapperConfig, chunk_size: int):
+    """Framed + packed device buffers for a reads file: the native C++ loader
+    when available (see ``io/native.py``), else the numpy framer. Both are
+    bit-identical."""
+    from .io import native as native_mod
+
+    if native_mod.available():
+        stream = readers.open_bytes(reads_path)
+        fmt = readers.detect_format(reads_path)
+        return native_mod.pack_stream_native(
+            stream, fmt, config.buf, config.max_reads, config.k, block_bytes=chunk_size
+        )
     chunks = readers.read_chunks(reads_path, min_chunk_size=chunk_size)
-    packed = readers.pack_for_device(chunks, config.buf, config.max_reads, config.k)
-    return mapper, packed
+    return readers.pack_for_device(chunks, config.buf, config.max_reads, config.k)
 
 
 def map_sequences(

@@ -1,0 +1,137 @@
+"""Native C++ data loader vs numpy framer: bit-identical packed buffers."""
+import gzip
+import io
+
+import numpy as np
+import pytest
+
+from kmer_mapper_tpu.io import native, readers
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native loader unavailable (no g++)"
+)
+
+
+def _numpy_path(data: bytes, fmt, max_bases, max_reads, k, block):
+    chunks = readers.read_chunks(io.BytesIO(data), fmt=fmt, min_chunk_size=block)
+    return list(readers.pack_for_device(chunks, max_bases, max_reads, k))
+
+
+def _native_path(data: bytes, fmt, max_bases, max_reads, k, block):
+    return list(
+        native.pack_stream_native(io.BytesIO(data), fmt, max_bases, max_reads, k, block)
+    )
+
+
+def _assert_same(a, b):
+    assert len(a) == len(b), (len(a), len(b))
+    for (p1, l1, nb1, nr1, ni1), (p2, l2, nb2, nr2, ni2) in zip(a, b):
+        np.testing.assert_array_equal(p1, p2)
+        np.testing.assert_array_equal(l1, l2)
+        assert (nb1, nr1, ni1) == (nb2, nr2, ni2)
+
+
+def _random_reads(rng, n, lo=10, hi=120, alphabet="ACGT"):
+    return ["".join(rng.choice(list(alphabet), rng.integers(lo, hi))) for _ in range(n)]
+
+
+@pytest.mark.parametrize("block", [64, 300, 1 << 16])
+def test_fastq_matches_numpy(block):
+    rng = np.random.default_rng(0)
+    reads = _random_reads(rng, 150)
+    data = "".join(f"@r{i} c\n{s}\n+\n{'F' * len(s)}\n" for i, s in enumerate(reads)).encode()
+    args = ("fastq", 1024, 64, 31, block)
+    _assert_same(_native_path(data, *args), _numpy_path(data, *args))
+
+
+@pytest.mark.parametrize("block", [64, 511, 1 << 16])
+def test_fasta_multiline_matches_numpy(block):
+    rng = np.random.default_rng(1)
+    reads = _random_reads(rng, 100, lo=5, hi=200)
+    parts = []
+    for i, s in enumerate(reads):
+        wrapped = "\n".join(s[j : j + 60] for j in range(0, len(s), 60))
+        parts.append(f">r{i}\n{wrapped}\n")
+    data = "".join(parts).encode()
+    args = ("fasta", 1024, 64, 31, block)
+    _assert_same(_native_path(data, *args), _numpy_path(data, *args))
+
+
+def test_fasta_crlf_and_no_trailing_newline():
+    data = b">a\r\nACGT\r\nTTAA\r\n>b\r\nGGCC"
+    args = ("fasta", 256, 16, 5, 32)
+    _assert_same(_native_path(data, *args), _numpy_path(data, *args))
+
+
+def test_n_and_invalid_bases_counted():
+    data = b">a\nACGTNNXACGT\n"
+    got = _native_path(data, "fasta", 256, 16, 5, 64)
+    expect = _numpy_path(data, "fasta", 256, 16, 5, 64)
+    _assert_same(got, expect)
+    assert got[0][4] == 1  # one invalid (X); N's count as A
+
+
+def test_long_read_split_matches_numpy():
+    rng = np.random.default_rng(2)
+    long_read = "".join(rng.choice(list("ACGT"), 3000))
+    data = f">chr\n{long_read}\n".encode()
+    args = ("fasta", 512, 64, 31, 200)
+    _assert_same(_native_path(data, *args), _numpy_path(data, *args))
+
+
+def test_fastq_lowercase_and_short_reads():
+    data = b"@a\nacgtn\n+\n!!!!!\n@b\nAC\n+\n!!\n@c\nggttaacc\n+zz\n!!!!!!!!\n"
+    args = ("fastq", 128, 8, 3, 16)
+    _assert_same(_native_path(data, *args), _numpy_path(data, *args))
+
+
+def test_fastq_truncated_raises():
+    data = b"@a\nACGT\n+\n!!!!\n@b\nACG\n"
+    with pytest.raises(ValueError, match="truncated FASTQ"):
+        _native_path(data, "fastq", 128, 8, 3, 16)
+
+
+def test_fastq_bad_header_raises():
+    data = b"xa\nACGT\n+\n!!!!\n"
+    with pytest.raises(ValueError, match="header"):
+        _native_path(data, "fastq", 128, 8, 3, 16)
+
+
+def test_gzip_stream_end_to_end(tmp_path):
+    rng = np.random.default_rng(3)
+    reads = _random_reads(rng, 200)
+    text = "".join(f"@r{i}\n{s}\n+\n{'I' * len(s)}\n" for i, s in enumerate(reads))
+    path = tmp_path / "r.fq.gz"
+    with gzip.open(path, "wt") as f:
+        f.write(text)
+    stream = readers.open_bytes(str(path))
+    got = list(native.pack_stream_native(stream, "fastq", 2048, 128, 31, 1024))
+    expect = _numpy_path(text.encode(), "fastq", 2048, 128, 31, 1024)
+    _assert_same(got, expect)
+
+
+def test_pipeline_native_vs_numpy_counts(tmp_path, monkeypatch):
+    """End-to-end map_file must give identical node counts on both loaders."""
+    from kmer_mapper_tpu import oracle, pipeline
+    from kmer_mapper_tpu.index import kmer_index as ki
+
+    rng = np.random.default_rng(4)
+    k = 7
+    reads = _random_reads(rng, 100, alphabet="ACGTN")
+    codes = [oracle.encode_string(r.replace("N", "A")) for r in reads]
+    read_kmers = oracle.kmer_hashes_ragged(
+        np.concatenate(codes), np.array([len(c) for c in codes]), k
+    )
+    entry_kmers = rng.choice(read_kmers, 200)
+    arrays = oracle.build_kmer_index(
+        entry_kmers, rng.integers(0, 60, 200).astype(np.int32), 997
+    )
+    path = tmp_path / "reads.fa"
+    path.write_text("".join(f">r{i}\n{s}\n" for i, s in enumerate(reads)))
+    idx = ki.TpuKmerIndex.from_arrays(arrays)
+    native_counts = pipeline.map_file(idx, str(path), k=k, chunk_size=1 << 14)
+    monkeypatch.setenv("KMT_NO_NATIVE", "1")
+    numpy_counts = pipeline.map_file(idx, str(path), k=k, chunk_size=1 << 14)
+    np.testing.assert_array_equal(native_counts, numpy_counts)
+    expect = oracle.map_kmers_to_index(arrays, read_kmers)
+    np.testing.assert_array_equal(native_counts, expect)
