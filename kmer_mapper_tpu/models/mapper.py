@@ -176,6 +176,40 @@ class KmerMapper:
         self.counts = acc(self.counts, bucket, mask, jnp.ones(len(lo), dtype=bool))
         self._stats.append(jnp.uint32(len(lo)))
 
+    def in_index(self, kmers: np.ndarray) -> np.ndarray:
+        """Membership per uint64 kmer hash, uint8[n] (no frequency filter) —
+        parity with the reference's ``in_graph_index``
+        (``kmer_mapper/mapper.pyx:81-130``), on device."""
+        from ..ops.u32hash import split_u64
+
+        lo, hi = split_u64(np.asarray(kmers, dtype=np.uint64))
+        table = self.index.table
+        slots = probe.probe_slots(
+            self.key_lo,
+            self.key_hi,
+            jnp.asarray(lo),
+            jnp.asarray(hi),
+            table.max_probe,
+            table.seed,
+        )
+        return np.asarray(jax.device_get(slots >= 0)).astype(np.uint8)
+
+    def save_state(self, path) -> None:
+        """Checkpoint the accumulated counts + totals (resume long runs)."""
+        np.savez(
+            path,
+            counts=self.slot_counts(),
+            n_kmers=np.int64(self.n_kmers_mapped),
+            n_invalid=np.int64(self.n_invalid_bases),
+        )
+
+    def load_state(self, path) -> None:
+        with np.load(path, allow_pickle=False) as data:
+            self.counts = jax.device_put(data["counts"])
+            self._stats = []
+            self._total_kmers = int(data["n_kmers"])
+            self.n_invalid_bases = int(data["n_invalid"])
+
     def slot_counts(self) -> np.ndarray:
         return np.asarray(jax.device_get(self.counts))
 
