@@ -105,7 +105,19 @@ def run_argument_parser(args):
         "--accumulate",
         default="scatter",
         choices=["scatter", "sorted"],
-        help="On-device count accumulation strategy",
+        help="Gather-probe count accumulation strategy",
+    )
+    sub.add_argument(
+        "--n-devices",
+        default=None,
+        type=int,
+        help="Map over this many accelerator devices (default: 1)",
+    )
+    sub.add_argument(
+        "--index-parallel",
+        default=1,
+        type=int,
+        help="Shard the index table over this many devices (multi-GB indexes)",
     )
     sub.set_defaults(func=_cmd_map)
 
@@ -143,16 +155,30 @@ def _cmd_map(args):
     from . import pipeline
 
     index = _resolve_index_arg(args)
-    node_counts = pipeline.map_file(
-        index,
-        args.reads,
-        k=args.kmer_size,
-        chunk_size=args.chunk_size,
-        max_frequency=args.max_hits_per_kmer,
-        map_reverse_complements=_parse_bool(args.map_reverse_complements),
-        accumulate=args.accumulate,
-        queue_depth=max(2, min(args.n_threads, 16)),
-    )
+    multi = (args.n_devices or 1) > 1 or args.index_parallel > 1
+    if multi:
+        node_counts = pipeline.map_file_sharded(
+            index,
+            args.reads,
+            k=args.kmer_size,
+            chunk_size=args.chunk_size,
+            max_frequency=args.max_hits_per_kmer,
+            map_reverse_complements=_parse_bool(args.map_reverse_complements),
+            index_parallel=args.index_parallel,
+            n_devices=args.n_devices,
+            queue_depth=max(2, min(args.n_threads, 16)),
+        )
+    else:
+        node_counts = pipeline.map_file(
+            index,
+            args.reads,
+            k=args.kmer_size,
+            chunk_size=args.chunk_size,
+            max_frequency=args.max_hits_per_kmer,
+            map_reverse_complements=_parse_bool(args.map_reverse_complements),
+            accumulate=args.accumulate,
+            queue_depth=max(2, min(args.n_threads, 16)),
+        )
     if args.output_file is None:
         return node_counts
     np.save(args.output_file, node_counts)

@@ -55,10 +55,19 @@ def sort_queries(q_lo, q_hi, valid, n_buckets: int, seed: int):
     return lax.sort((b, q_lo, q_hi), dimension=0, num_keys=1)
 
 
-def block_offsets(sorted_b, n_buckets: int, block: int):
-    """int32[n_blocks + 1] query-range bounds per table block."""
-    n_blocks = max(1, n_buckets // block)
-    bounds = (jnp.arange(n_blocks + 1, dtype=jnp.uint32)) * jnp.uint32(block)
+def block_offsets(sorted_b, n_buckets: int, block: int, bucket_base=0, n_local=None):
+    """int32[n_blocks + 1] query-range bounds per table block.
+
+    With ``bucket_base``/``n_local`` the bounds cover only the shard-local
+    bucket range [bucket_base, bucket_base + n_local); queries owned by other
+    shards fall outside every range."""
+    if n_local is None:
+        n_local = n_buckets
+    n_blocks = max(1, n_local // min(block, n_buckets))
+    block = n_local // n_blocks
+    bounds = jnp.uint32(bucket_base) + jnp.arange(
+        n_blocks + 1, dtype=jnp.uint32
+    ) * jnp.uint32(block)
     return jnp.searchsorted(sorted_b, bounds).astype(jnp.int32)
 
 
@@ -103,11 +112,11 @@ def _kernel(
     max_probe: int,
 ):
     i = pl.program_id(0)
-    start = off_ref[i]
-    end = off_ref[i + 1]
+    start = off_ref[i + 1]
+    end = off_ref[i + 2]
     counts_out_ref[...] = counts_in_ref[...]
     tb = _table_bytes(key_lo_ref[...], key_hi_ref[...])  # (BPB, 8K)
-    base_bucket = jnp.int32(i * bpb)
+    base_bucket = off_ref[0] + jnp.int32(i * bpb)  # off_ref[0] = shard base
     rows = lax.broadcasted_iota(jnp.int32, (bpb, cap), 0)
     lane_pos = lax.broadcasted_iota(jnp.int32, (1, cap), 1)
     K = BUCKET_KEYS
@@ -173,11 +182,19 @@ def stream_count(
     max_probe: int,
     cap: int = DEFAULT_CAP,
     interpret: bool = False,
+    bucket_base=0,  # shard-local tables: global bucket id of local bucket 0
+    chain_block: int | None = None,  # build-time chain block (global tables: auto)
 ) -> jnp.ndarray:
-    """counts += histogram of table hits among the sorted queries."""
-    n_buckets = key_lo.shape[0]
-    bpb = min(CHAIN_BLOCK, n_buckets)
-    n_blocks = n_buckets // bpb
+    """counts += histogram of table hits among the sorted queries.
+
+    ``key_lo``/``key_hi``/``counts`` may be a shard of a larger table; pass
+    the shard's ``bucket_base`` and the build-time ``chain_block``
+    (= min(CHAIN_BLOCK, n_buckets_global)); shard sizes must be chain-block
+    multiples so tile rolls reproduce the build's chain wrapping."""
+    n_local = key_lo.shape[0]
+    bpb = min(CHAIN_BLOCK, n_local) if chain_block is None else chain_block
+    assert n_local % bpb == 0, "table shard must be a multiple of the chain block"
+    n_blocks = n_local // bpb
     n = sorted_b.shape[0]
     pad = (-n) % cap
     if pad:
@@ -185,7 +202,7 @@ def stream_count(
         sorted_lo = jnp.concatenate([sorted_lo, jnp.zeros(pad, jnp.uint32)])
         sorted_hi = jnp.concatenate([sorted_hi, jnp.zeros(pad, jnp.uint32)])
     n_tiles = (n + pad) // cap
-    counts2d = counts.reshape(n_buckets, BUCKET_KEYS)
+    counts2d = counts.reshape(n_local, BUCKET_KEYS)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -206,15 +223,18 @@ def stream_count(
             pltpu.SemaphoreType.DMA((3,)),
         ],
     )
+    scalars = jnp.concatenate(
+        [jnp.asarray(bucket_base, dtype=jnp.int32).reshape(1), off]
+    )
     kernel = functools.partial(_kernel, cap=cap, bpb=bpb, max_probe=max_probe)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_buckets, BUCKET_KEYS), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((n_local, BUCKET_KEYS), jnp.uint32),
         input_output_aliases={3: 0},  # counts2d (arg 3 incl. scalar prefetch)
         interpret=interpret,
     )(
-        off,
+        scalars,
         key_lo,
         key_hi,
         counts2d,

@@ -17,9 +17,10 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
+from ..index import layout
 from ..index.kmer_index import TpuKmerIndex
 from ..models.mapper import MapperConfig
-from ..ops import encode, hashing, probe
+from ..ops import encode, hashing, probe, stream_probe
 from .mesh import DATA_AXIS, INDEX_AXIS
 
 
@@ -43,6 +44,12 @@ def make_sharded_step(
     n_index = mesh.shape[INDEX_AXIS]
     assert n_buckets % n_index == 0
     nb_local = n_buckets // n_index
+    chain_block = min(layout.CHAIN_BLOCK, n_buckets)
+    if config.probe == "stream" and nb_local % chain_block != 0:
+        raise ValueError(
+            f"stream probe needs chain-block-aligned shards "
+            f"(nb_local={nb_local}, chain_block={chain_block}); use probe='gather'"
+        )
     accumulate = probe.ACCUMULATORS[config.accumulate]
     k, buf = config.k, config.buf
 
@@ -56,18 +63,43 @@ def make_sharded_step(
         n_valid = jnp.sum(valid.astype(jnp.uint32))
         c = counts[0]
 
-        def probe_and_count(c, q_lo, q_hi):
-            bucket, mask = probe.probe_hits(
-                key_lo,
-                key_hi,
-                q_lo,
-                q_hi,
-                max_probe,
-                seed,
-                n_buckets_global=n_buckets,
-                row_offset=row_offset,
-            )
-            return accumulate(c, bucket, mask, valid)
+        if config.probe == "stream":
+
+            def probe_and_count(c, q_lo, q_hi):
+                sb, slo, shi = stream_probe.sort_queries(
+                    q_lo, q_hi, valid, n_buckets, seed
+                )
+                off = stream_probe.block_offsets(
+                    sb, n_buckets, chain_block, bucket_base=row_offset, n_local=nb_local
+                )
+                return stream_probe.stream_count(
+                    key_lo,
+                    key_hi,
+                    c,
+                    sb,
+                    slo,
+                    shi,
+                    off,
+                    max_probe,
+                    interpret=config.interpret,
+                    bucket_base=row_offset,
+                    chain_block=chain_block,
+                )
+
+        else:
+
+            def probe_and_count(c, q_lo, q_hi):
+                bucket, mask = probe.probe_hits(
+                    key_lo,
+                    key_hi,
+                    q_lo,
+                    q_hi,
+                    max_probe,
+                    seed,
+                    n_buckets_global=n_buckets,
+                    row_offset=row_offset,
+                )
+                return accumulate(c, bucket, mask, valid)
 
         lo, hi = hashing.rolling_kmer_hash(codes, k)
         c = probe_and_count(c, lo, hi)
@@ -88,6 +120,7 @@ def make_sharded_step(
             P(DATA_AXIS),
         ),
         out_specs=(P(DATA_AXIS, INDEX_AXIS), P(DATA_AXIS)),
+        check_vma=False,  # pallas_call outputs carry no vma annotation
     )
     return jax.jit(step, donate_argnums=(0,))
 

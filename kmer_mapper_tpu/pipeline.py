@@ -176,6 +176,54 @@ def packed_chunk_iterator(reads_path: str, config: MapperConfig, chunk_size: int
     return readers.pack_for_device(chunks, config.buf, config.max_reads, config.k)
 
 
+def map_file_sharded(
+    index: TpuKmerIndex | str,
+    reads_path: str,
+    k: int = 31,
+    chunk_size: int = 2_500_000,
+    max_frequency: int = 1000,
+    map_reverse_complements: bool = False,
+    index_parallel: int = 1,
+    n_devices: int | None = None,
+    queue_depth: int = 4,
+) -> np.ndarray:
+    """Multi-device mapping over a (data, index) mesh: chunks fan out over the
+    data axis, the table shards over the index axis (for multi-GB indexes),
+    counts are combined on device at finalization. Single-host multi-chip; for
+    multi-host, run one pipeline per host on its own file shard and sum the
+    node-count vectors."""
+    from .models.mapper import default_config
+    from .parallel import ShardedKmerMapper, batch_packed_chunks, make_mesh
+
+    index = load_index(index)
+    mesh = make_mesh(n_devices=n_devices, index_parallel=index_parallel)
+    buf = _round_up(max(chunk_size, 1 << 16), 1 << 13)
+    config = default_config(
+        k=k,
+        buf=buf,
+        max_reads=max(1024, buf // 32),
+        revcomp=map_reverse_complements,
+    )
+    mapper = ShardedKmerMapper(index, config, mesh)
+    packed = packed_chunk_iterator(reads_path, config, chunk_size)
+    batches = batch_packed_chunks(
+        packed, mapper.n_data, config.packed_words, config.max_reads
+    )
+    t = time.perf_counter()
+    n_batches = 0
+    for batch in prefetch(batches, depth=queue_depth):
+        mapper.map_batch(*batch)
+        n_batches += 1
+    logger.info(
+        "Mapped %d kmers in %d batches over mesh %s in %.3f sec",
+        mapper.n_kmers_mapped,
+        n_batches,
+        dict(mesh.shape),
+        time.perf_counter() - t,
+    )
+    return mapper.node_counts(max_frequency=max_frequency)
+
+
 def map_sequences(
     index: TpuKmerIndex,
     sequences: list[str],

@@ -173,3 +173,38 @@ def test_cli_requires_index(tmp_path, capsys):
     reads_path = _write_fasta(tmp_path / "r.fa", ["ACGT"])
     with pytest.raises(SystemExit):
         run_argument_parser(["map", "-f", reads_path, "-o", str(tmp_path / "o")])
+
+
+def test_map_file_sharded_matches_oracle(tmp_path):
+    k = 9
+    rng = np.random.default_rng(23)
+    reads = _make_reads(rng, n=150)
+    arrays = _index_from_reads(rng, reads, k)
+    reads_path = _write_fasta(tmp_path / "reads.fa", reads)
+    got = pipeline.map_file_sharded(
+        ki.TpuKmerIndex.from_arrays(arrays),
+        reads_path,
+        k=k,
+        chunk_size=1 << 16,
+        n_devices=4,
+        index_parallel=2,
+    )
+    np.testing.assert_array_equal(got, _oracle_counts(arrays, reads, k))
+
+
+def test_cli_multi_device(tmp_path):
+    k = 7
+    rng = np.random.default_rng(29)
+    reads = _make_reads(rng, n=60)
+    arrays = _index_from_reads(rng, reads, k)
+    index_path = tmp_path / "index.npz"
+    ki.save_reference_npz(index_path, arrays)
+    reads_path = _write_fasta(tmp_path / "reads.fa", reads)
+    out = tmp_path / "counts"
+    run_argument_parser(
+        ["map", "-i", str(index_path), "-f", reads_path, "-o", str(out),
+         "-k", str(k), "--n-devices", "8", "--index-parallel", "2"]
+    )
+    np.testing.assert_array_equal(
+        np.load(str(out) + ".npy"), _oracle_counts(arrays, reads, k)
+    )

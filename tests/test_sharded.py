@@ -110,3 +110,30 @@ def test_sharded_probe_chained_high_load():
     ]
     _run(mapper, reads, config)
     np.testing.assert_array_equal(mapper.node_counts(), 1)
+
+
+def test_sharded_stream_probe_matches_oracle():
+    """Stream (sort + MXU) probe inside shard_map: chain-block-aligned table
+    shards, interpret-mode kernel, bit-exact vs oracle."""
+    rng = np.random.default_rng(77)
+    k = 9
+    reads, arrays, expect = _setup(rng, k, n_reads=100)
+    # force a table big enough that each of 2 index shards holds >= 1 chain block
+    unique = np.unique(arrays.kmers)
+    table = layout.build_table(unique, n_buckets=2 * layout.CHAIN_BLOCK)
+    slots = layout.query_table(table, arrays.kmers)
+    tpu = ki.TpuKmerIndex(
+        table=table,
+        entry_slot=slots.astype(np.int32),
+        entry_node=arrays.nodes,
+        entry_frequency=arrays.frequencies,
+        max_node_id=arrays.max_node_id(),
+        n_unique=len(unique),
+    )
+    mesh = make_mesh(n_devices=4, index_parallel=2)
+    config = MapperConfig(
+        k=k, buf=1024, max_reads=64, probe="stream", interpret=True
+    )
+    mapper = ShardedKmerMapper(tpu, config, mesh)
+    _run(mapper, reads, config)
+    np.testing.assert_array_equal(mapper.node_counts(), expect)
