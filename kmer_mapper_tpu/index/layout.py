@@ -63,6 +63,27 @@ class TableArrays:
         """(lo, hi) uint32[n_slots] in slot order (bucket-major)."""
         return self.key_lo.reshape(-1), self.key_hi.reshape(-1)
 
+    def block_max_probe(self) -> np.ndarray:
+        """int32[n_blocks]: chain bound per chain block (1 = no chains).
+
+        Chains are rare at the default load factor, so the stream kernel skips
+        the extra probe rounds for the ~99% of blocks that have none. Computed
+        from the stored keys (each key's distance from its home bucket)."""
+        if getattr(self, "_block_probe", None) is None:
+            block = min(CHAIN_BLOCK, self.n_buckets)
+            lo, hi = self.key_words()
+            occupied = ~((lo == EMPTY) & (hi == EMPTY))
+            slot_bucket = np.arange(self.n_slots, dtype=np.int64) // BUCKET_KEYS
+            home = bucket_of(lo, hi, self.n_buckets, seed=self.seed).astype(np.int64)
+            dist = (slot_bucket - home) & (block - 1)
+            dist = np.where(occupied, dist, 0)
+            n_blocks = self.n_buckets // block
+            per_block = np.maximum.reduceat(
+                dist, np.arange(n_blocks) * block * BUCKET_KEYS
+            )
+            self._block_probe = (per_block + 1).astype(np.int32)
+        return self._block_probe
+
 
 def _next_pow2(x: int) -> int:
     return 1 << max(0, (x - 1)).bit_length()

@@ -69,6 +69,7 @@ def chunk_step(
     config: MapperConfig,
     max_probe: int,
     seed: int,
+    block_probe=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (counts', n_valid_windows uint32)."""
     k, buf = config.k, config.buf
@@ -83,6 +84,7 @@ def chunk_step(
             return stream_probe.stream_probe_count(
                 key_lo, key_hi, counts, q_lo, q_hi, valid,
                 seed, max_probe, interpret=config.interpret,
+                block_probe=block_probe,
             )
     else:
         accumulate = probe.ACCUMULATORS[config.accumulate]
@@ -99,9 +101,12 @@ def chunk_step(
     return counts, n_valid
 
 
-def make_step(config: MapperConfig, max_probe: int, seed: int):
+def make_step(config: MapperConfig, max_probe: int, seed: int, block_probe=None):
     """Compile the chunk step; count state donated for in-place accumulation."""
-    fn = functools.partial(chunk_step, config=config, max_probe=max_probe, seed=seed)
+    fn = functools.partial(
+        chunk_step, config=config, max_probe=max_probe, seed=seed,
+        block_probe=block_probe,
+    )
     return jax.jit(fn, donate_argnums=(2,))
 
 
@@ -131,7 +136,12 @@ class KmerMapper:
         self.key_lo = put(index.table.key_lo)
         self.key_hi = put(index.table.key_hi)
         self.counts = put(jnp.zeros(index.table.n_slots, dtype=jnp.uint32))
-        self._step = make_step(config, index.table.max_probe, index.table.seed)
+        block_probe = (
+            index.table.block_max_probe() if config.probe == "stream" else None
+        )
+        self._step = make_step(
+            config, index.table.max_probe, index.table.seed, block_probe
+        )
         self._stats: list[jnp.ndarray] = []  # per-chunk n_valid device scalars
         self._total_kmers = 0
         self.n_invalid_bases = 0

@@ -45,7 +45,7 @@ from ..index.layout import BUCKET_KEYS, CHAIN_BLOCK
 from .u32hash import bucket_of
 
 INVALID_BUCKET = jnp.uint32(0xFFFFFFFF)
-DEFAULT_CAP = 2048  # queries per kernel tile (MXU lane-dim extent)
+DEFAULT_CAP = 1024  # queries per kernel tile (MXU lane-dim extent)
 
 
 def sort_queries(q_lo, q_hi, valid, n_buckets: int, seed: int):
@@ -110,10 +110,12 @@ def _kernel(
     cap: int,
     bpb: int,
     max_probe: int,
+    n_blocks: int,
 ):
     i = pl.program_id(0)
     start = off_ref[i + 1]
     end = off_ref[i + 2]
+    probe_limit = off_ref[n_blocks + 2 + i]  # per-block chain bound
     counts_out_ref[...] = counts_in_ref[...]
     tb = _table_bytes(key_lo_ref[...], key_hi_ref[...])  # (BPB, 8K)
     base_bucket = off_ref[0] + jnp.int32(i * bpb)  # off_ref[0] = shard base
@@ -141,8 +143,8 @@ def _kernel(
         # one-hot with queries on the lane dim: (bpb, cap)
         one_hot = ((rows == local_b) & live).astype(jnp.float32)
         qh = _bytes8(qlo_s[...], qhi_s[...])  # 8 x (1, cap)
-        contrib = jnp.zeros((bpb, K), dtype=jnp.float32)
-        for p in range(max_probe):
+
+        def probe_round(p, contrib):
             tbp = tb if p == 0 else jnp.roll(tb, -p, axis=0)
             # per-query candidate key bytes: (8K, cap) = tbpᵀ ⨯ one_hot
             g = lax.dot_general(
@@ -161,7 +163,17 @@ def _kernel(
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (bpb, K)
-            contrib = contrib + (c if p == 0 else jnp.roll(c, p, axis=0))
+            return contrib + (c if p == 0 else jnp.roll(c, p, axis=0))
+
+        contrib = probe_round(0, jnp.zeros((bpb, K), dtype=jnp.float32))
+        for p in range(1, max_probe):
+            # chains are rare: skip the extra rounds for chain-free blocks
+            contrib = lax.cond(
+                p < probe_limit,
+                functools.partial(probe_round, p),
+                lambda c: c,
+                contrib,
+            )
         counts_out_ref[...] = counts_out_ref[...] + contrib.astype(jnp.int32).astype(
             jnp.uint32
         )
@@ -184,6 +196,7 @@ def stream_count(
     interpret: bool = False,
     bucket_base=0,  # shard-local tables: global bucket id of local bucket 0
     chain_block: int | None = None,  # build-time chain block (global tables: auto)
+    block_probe=None,  # int32[n_blocks] per-block chain bound (None: max_probe)
 ) -> jnp.ndarray:
     """counts += histogram of table hits among the sorted queries.
 
@@ -223,10 +236,18 @@ def stream_count(
             pltpu.SemaphoreType.DMA((3,)),
         ],
     )
+    if block_probe is None:
+        block_probe = jnp.full(n_blocks, max_probe, dtype=jnp.int32)
     scalars = jnp.concatenate(
-        [jnp.asarray(bucket_base, dtype=jnp.int32).reshape(1), off]
+        [
+            jnp.asarray(bucket_base, dtype=jnp.int32).reshape(1),
+            off,
+            jnp.asarray(block_probe, dtype=jnp.int32),
+        ]
     )
-    kernel = functools.partial(_kernel, cap=cap, bpb=bpb, max_probe=max_probe)
+    kernel = functools.partial(
+        _kernel, cap=cap, bpb=bpb, max_probe=max_probe, n_blocks=n_blocks
+    )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -256,6 +277,7 @@ def stream_probe_count(
     max_probe: int,
     cap: int = DEFAULT_CAP,
     interpret: bool = False,
+    block_probe=None,
 ):
     """Full stream path: sort -> block offsets -> stream kernel."""
     n_buckets = key_lo.shape[0]
@@ -263,5 +285,15 @@ def stream_probe_count(
     bpb = min(CHAIN_BLOCK, n_buckets)
     off = block_offsets(sb, n_buckets, bpb)
     return stream_count(
-        key_lo, key_hi, counts, sb, slo, shi, off, max_probe, cap=cap, interpret=interpret
+        key_lo,
+        key_hi,
+        counts,
+        sb,
+        slo,
+        shi,
+        off,
+        max_probe,
+        cap=cap,
+        interpret=interpret,
+        block_probe=block_probe,
     )

@@ -25,7 +25,12 @@ from .mesh import DATA_AXIS, INDEX_AXIS
 
 
 def make_sharded_step(
-    mesh: Mesh, config: MapperConfig, n_buckets: int, max_probe: int, seed: int
+    mesh: Mesh,
+    config: MapperConfig,
+    n_buckets: int,
+    max_probe: int,
+    seed: int,
+    block_probe: "np.ndarray | None" = None,
 ):
     """Compile the multi-device chunk step.
 
@@ -64,6 +69,15 @@ def make_sharded_step(
         c = counts[0]
 
         if config.probe == "stream":
+            n_blocks_local = nb_local // chain_block
+            if block_probe is not None:
+                bp_local = jax.lax.dynamic_slice(
+                    jnp.asarray(block_probe, dtype=jnp.int32),
+                    (x * n_blocks_local,),
+                    (n_blocks_local,),
+                )
+            else:
+                bp_local = None
 
             def probe_and_count(c, q_lo, q_hi):
                 sb, slo, shi = stream_probe.sort_queries(
@@ -84,6 +98,7 @@ def make_sharded_step(
                     interpret=config.interpret,
                     bucket_base=row_offset,
                     chain_block=chain_block,
+                    block_probe=bp_local,
                 )
 
         else:
@@ -161,8 +176,9 @@ class ShardedKmerMapper:
             jnp.zeros((self.n_data, table.n_slots), dtype=jnp.uint32),
             P(DATA_AXIS, INDEX_AXIS),
         )
+        block_probe = table.block_max_probe() if config.probe == "stream" else None
         self._step = make_sharded_step(
-            mesh, config, table.n_buckets, table.max_probe, table.seed
+            mesh, config, table.n_buckets, table.max_probe, table.seed, block_probe
         )
         self._stats: list = []
         self._total_kmers = 0

@@ -150,3 +150,34 @@ def test_chunk_step_stream_mode_matches_oracle(revcomp):
     queries = np.concatenate([fwd, oracle.revcomp_hash(fwd, k)]) if revcomp else fwd
     expect = oracle.map_kmers_to_index(arrays, queries)
     np.testing.assert_array_equal(got, expect)
+
+
+def test_block_max_probe_and_chain_skip():
+    """Per-block probe limits: chain-free blocks skip extra rounds; chained
+    blocks still resolve exactly."""
+    rng = np.random.default_rng(9)
+    keys = np.unique(rng.integers(0, 1 << 62, 4000, dtype=np.uint64))
+    n_buckets = layout._next_pow2(int(np.ceil(len(keys) / layout.BUCKET_KEYS / 0.8)))
+    table = layout.build_table(keys, n_buckets=n_buckets)
+    assert table.max_probe > 1
+    bp = table.block_max_probe()
+    assert bp.max() == table.max_probe
+    assert (bp >= 1).all()
+
+    queries = np.concatenate([keys, rng.integers(0, 1 << 62, 800, dtype=np.uint64)])
+    valid = np.ones(len(queries), bool)
+    qlo, qhi = split_u64(queries)
+    out = stream_probe.stream_probe_count(
+        jnp.asarray(table.key_lo),
+        jnp.asarray(table.key_hi),
+        jnp.zeros(table.n_slots, jnp.uint32),
+        jnp.asarray(qlo),
+        jnp.asarray(qhi),
+        jnp.asarray(valid),
+        table.seed,
+        table.max_probe,
+        cap=512,
+        interpret=True,
+        block_probe=bp,
+    )
+    np.testing.assert_array_equal(np.asarray(out), _expect(table, queries, valid))
