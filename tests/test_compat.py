@@ -1,0 +1,66 @@
+"""Programmatic compat API + tools tests."""
+import numpy as np
+
+from kmer_mapper_tpu import compat, oracle, tools
+from kmer_mapper_tpu.index import kmer_index as ki
+
+
+def _index(rng):
+    kmers = rng.integers(0, 1 << 62, 300, dtype=np.uint64)
+    kmers = np.concatenate([kmers, kmers[:40]])
+    nodes = rng.integers(0, 90, len(kmers)).astype(np.int32)
+    freqs = rng.choice([1, 1001], len(kmers), p=[0.95, 0.05]).astype(np.uint16)
+    return oracle.build_kmer_index(kmers, nodes, 1009, frequencies=freqs)
+
+
+def test_map_kmers_to_graph_index_parity():
+    rng = np.random.default_rng(0)
+    arrays = _index(rng)
+    queries = np.concatenate(
+        [rng.choice(arrays.kmers, 500), rng.integers(0, 1 << 62, 100, dtype=np.uint64)]
+    )
+    got = compat.map_kmers_to_graph_index(arrays, arrays.max_node_id(), queries)
+    expect = oracle.map_kmers_to_index(arrays, queries)
+    np.testing.assert_array_equal(got, expect)
+    # honored frequency cutoff
+    got2 = compat.map_kmers_to_graph_index(
+        arrays, arrays.max_node_id(), queries, max_index_lookup_frequency=2000
+    )
+    expect2 = oracle.map_kmers_to_index(arrays, queries, max_frequency=2000)
+    np.testing.assert_array_equal(got2, expect2)
+
+
+def test_map_kmers_max_node_id_padding():
+    rng = np.random.default_rng(1)
+    arrays = _index(rng)
+    queries = rng.choice(arrays.kmers, 100)
+    got = compat.map_kmers_to_graph_index(arrays, 500, queries)
+    assert got.shape == (501,)
+    expect = oracle.map_kmers_to_index(arrays, queries)
+    np.testing.assert_array_equal(got[: len(expect)], expect)
+
+
+def test_in_graph_index_parity():
+    rng = np.random.default_rng(2)
+    arrays = _index(rng)
+    queries = np.concatenate(
+        [arrays.kmers[:50], rng.integers(0, 1 << 62, 50, dtype=np.uint64)]
+    )
+    got = compat.in_graph_index(arrays, queries)
+    np.testing.assert_array_equal(got, oracle.in_index(arrays, queries))
+
+
+def test_shuffle_fasta(tmp_path):
+    rng = np.random.default_rng(3)
+    reads = ["".join(rng.choice(list("ACGT"), rng.integers(5, 30))) for _ in range(40)]
+    src = tmp_path / "in.fa"
+    src.write_text("".join(f">r{i}\nxxx\n".replace("xxx", s) for i, s in enumerate(reads)))
+    dst = tmp_path / "out.fa"
+    n = tools.shuffle_fasta(str(src), str(dst), seed=7)
+    assert n == 40
+    out_reads = []
+    for line in dst.read_text().splitlines():
+        if not line.startswith(">"):
+            out_reads.append(line)
+    assert sorted(out_reads) == sorted(reads)
+    assert out_reads != reads  # actually shuffled
