@@ -102,10 +102,10 @@ def _kernel(
     qlo_hbm,
     qhi_hbm,
     counts_out_ref,  # VMEM (BPB, K)
-    qb_s,  # scratch VMEM (1, cap)
+    qb_s,  # scratch VMEM (2, 1, cap) double-buffered
     qlo_s,
     qhi_s,
-    sems,  # DMA semaphores (3,)
+    sems,  # DMA semaphores (2, 3)
     *,
     cap: int,
     bpb: int,
@@ -123,26 +123,41 @@ def _kernel(
     lane_pos = lax.broadcasted_iota(jnp.int32, (1, cap), 1)
     K = BUCKET_KEYS
     t0 = start // cap
+    t1 = (end + cap - 1) // cap
+    n_iter = lax.max(jnp.int32(0), t1 - t0)
 
-    def body(j, _):
+    def dma(j, slot):
         t = t0 + j
-        copies = [
-            pltpu.make_async_copy(hbm.at[t], dst, sems.at[n])
+        return [
+            pltpu.make_async_copy(hbm.at[t], dst.at[slot], sems.at[slot, n])
             for n, (hbm, dst) in enumerate(
                 [(qb_hbm, qb_s), (qlo_hbm, qlo_s), (qhi_hbm, qhi_s)]
             )
         ]
-        for c in copies:
+
+    @pl.when(n_iter > 0)
+    def _():
+        for c in dma(0, 0):
             c.start()
-        for c in copies:
+
+    def body(j, _):
+        slot = j % 2
+
+        @pl.when(j + 1 < n_iter)
+        def _():
+            for c in dma(j + 1, (j + 1) % 2):
+                c.start()
+
+        for c in dma(j, slot):
             c.wait()
+        t = t0 + j
         pos = t * cap + lane_pos  # (1, cap)
         live = (pos >= start) & (pos < end)
-        local_b = qb_s[...].astype(jnp.int32) - base_bucket  # (1, cap)
+        local_b = qb_s[slot].astype(jnp.int32) - base_bucket  # (1, cap)
         live = live & (local_b >= 0) & (local_b < bpb)
         # one-hot with queries on the lane dim: (bpb, cap)
         one_hot = ((rows == local_b) & live).astype(jnp.float32)
-        qh = _bytes8(qlo_s[...], qhi_s[...])  # 8 x (1, cap)
+        qh = _bytes8(qlo_s[slot], qhi_s[slot])  # 8 x (1, cap)
 
         def probe_round(p, contrib):
             tbp = tb if p == 0 else jnp.roll(tb, -p, axis=0)
@@ -179,8 +194,7 @@ def _kernel(
         )
         return 0
 
-    t1 = (end + cap - 1) // cap
-    lax.fori_loop(0, lax.max(jnp.int32(0), t1 - t0), body, 0)
+    lax.fori_loop(0, n_iter, body, 0)
 
 
 def stream_count(
@@ -230,10 +244,10 @@ def stream_count(
         ],
         out_specs=pl.BlockSpec((bpb, BUCKET_KEYS), lambda i, off: (i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((1, cap), jnp.uint32),
-            pltpu.VMEM((1, cap), jnp.uint32),
-            pltpu.VMEM((1, cap), jnp.uint32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((2, 1, cap), jnp.uint32),
+            pltpu.VMEM((2, 1, cap), jnp.uint32),
+            pltpu.VMEM((2, 1, cap), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
     if block_probe is None:
