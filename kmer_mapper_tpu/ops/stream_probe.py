@@ -22,9 +22,11 @@ cost per query. Collision chains wrap inside CHAIN_BLOCK-aligned blocks
 (``index/layout.py``), so tiles are self-contained; chain offsets are handled
 by circularly rolling the table tile and re-using the same one-hot matrix.
 
-Exactness: all matmul operands are exact small integers in f32 (one-hot 0/1,
-16-bit key halves, hit flags); every sum either has a single nonzero term or
-is bounded by the query tile size, far below 2^24 — bit-exact by construction.
+Exactness: all matmul operands are exact in bfloat16 (one-hot 0/1, 8-bit key
+byte planes, hit flags — the MXU runs matmuls as single-pass bf16, which is
+why keys are split into bytes rather than 16-bit halves), accumulation is f32,
+and every sum either has a single nonzero term or is bounded by the query tile
+size, far below 2^24 — bit-exact by construction.
 
 Skew robustness: each block's query range is processed in whole cap-sized
 tiles with a data-dependent ``fori_loop`` trip count and position masking, so
@@ -117,7 +119,7 @@ def _kernel(
     end = off_ref[i + 2]
     probe_limit = off_ref[n_blocks + 2 + i]  # per-block chain bound
     counts_out_ref[...] = counts_in_ref[...]
-    tb = _table_bytes(key_lo_ref[...], key_hi_ref[...])  # (BPB, 8K)
+    tb = _table_bytes(key_lo_ref[...], key_hi_ref[...]).astype(jnp.bfloat16)  # (BPB, 8K)
     base_bucket = off_ref[0] + jnp.int32(i * bpb)  # off_ref[0] = shard base
     rows = lax.broadcasted_iota(jnp.int32, (bpb, cap), 0)
     lane_pos = lax.broadcasted_iota(jnp.int32, (1, cap), 1)
@@ -155,8 +157,9 @@ def _kernel(
         live = (pos >= start) & (pos < end)
         local_b = qb_s[slot].astype(jnp.int32) - base_bucket  # (1, cap)
         live = live & (local_b >= 0) & (local_b < bpb)
-        # one-hot with queries on the lane dim: (bpb, cap)
-        one_hot = ((rows == local_b) & live).astype(jnp.float32)
+        # one-hot with queries on the lane dim: (bpb, cap); bf16 operands are
+        # exact for 0/1 and byte values, and the MXU runs bf16 single-pass
+        one_hot = ((rows == local_b) & live).astype(jnp.bfloat16)
         qh = _bytes8(qlo_s[slot], qhi_s[slot])  # 8 x (1, cap)
 
         def probe_round(p, contrib):
@@ -171,10 +174,11 @@ def _kernel(
             hits = live
             for plane in range(8):
                 hits = hits & (g[plane * K : (plane + 1) * K, :] == qh[plane])
+            hits_in = hits.astype(jnp.bfloat16)
             # (K, cap)
             c = lax.dot_general(
                 one_hot,
-                hits.astype(jnp.float32),
+                hits_in,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (bpb, K)

@@ -256,6 +256,8 @@ def count_unique_kmers(
     unique_kmers = np.asarray(unique_kmers, dtype=np.uint64)
     if counts is None:
         counts = np.zeros(len(unique_kmers), dtype=np.uint32)
+    if len(unique_kmers) == 0 or len(np.asarray(query_kmers)) == 0:
+        return counts
     order = np.argsort(unique_kmers, kind="stable")
     sorted_keys = unique_kmers[order]
     pos = np.searchsorted(sorted_keys, query_kmers)
