@@ -156,6 +156,15 @@ class TpuKmerIndex:
         )
         return out.astype(np.uint32)
 
+    def get(self, kmer: int) -> np.ndarray:
+        """Graph nodes associated with a kmer hash (reference
+        ``KmerIndex.get(hash)`` parity, used e.g. in its tests at
+        ``tests/test_mapping.py:40``)."""
+        slot = layout.query_table(self.table, np.array([kmer], dtype=np.uint64))[0]
+        if slot < 0:
+            return np.zeros(0, dtype=np.int32)
+        return self.entry_node[self.entry_slot == slot]
+
     def kmer_counts(self, slot_counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """(unique_kmers_in_slot_order, counts) — the counter view."""
         lo, hi = self.table.key_words()

@@ -4,11 +4,12 @@ Covers the five benchmark configurations on whatever accelerator JAX provides:
   1. toy .fa against a toy .npz index, single chunk (correctness + latency)
   2. gzipped FASTQ streaming (host decode + device map)
   3. k sweep (16/21/31) with reverse complements and N-masking
-  4. large HBM-resident index
+  4. large HBM-resident index, higher read volume
   5. index sharded over available devices (ICI all-reduce of counts)
 
-Writes a markdown table to stdout; diagnostics to stderr. Heavier than
-bench.py — run manually.
+Each config reports wall time, mapped kmers/s, and the node-count sum (> 0:
+indexes are built from the reads' own kmers). First run per config includes
+compilation; heavier than bench.py — run manually.
 """
 import gzip
 import sys
@@ -24,17 +25,17 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def make_reads_file(path, rng, n_reads, read_len=151, gz=False, fastq=False, with_n=False):
+def make_reads(rng, n_reads, read_len=151, with_n=False):
     alphabet = list("ACGTN") if with_n else list("ACGT")
-    p = np.array([0.24, 0.24, 0.24, 0.24, 0.04]) if with_n else None
-    lines = []
-    for i in range(n_reads):
-        seq = "".join(rng.choice(alphabet, read_len, p=p))
-        if fastq:
-            lines.append(f"@r{i}\n{seq}\n+\n{'I' * read_len}\n")
-        else:
-            lines.append(f">r{i}\n{seq}\n")
-    data = "".join(lines)
+    p = [0.24, 0.24, 0.24, 0.24, 0.04] if with_n else None
+    return ["".join(rng.choice(alphabet, read_len, p=p)) for _ in range(n_reads)]
+
+
+def write_reads(path, reads, gz=False, fastq=False):
+    if fastq:
+        data = "".join(f"@r{i}\n{s}\n+\n{'I' * len(s)}\n" for i, s in enumerate(reads))
+    else:
+        data = "".join(f">r{i}\n{s}\n" for i, s in enumerate(reads))
     if gz:
         with gzip.open(path, "wt") as f:
             f.write(data)
@@ -43,78 +44,100 @@ def make_reads_file(path, rng, n_reads, read_len=151, gz=False, fastq=False, wit
     return str(path)
 
 
+def index_from_reads(rng, reads, k, n_extra, n_nodes, sample=30_000):
+    from kmer_mapper_tpu import oracle
+    from kmer_mapper_tpu.index import kmer_index as ki
+
+    codes = oracle.encode_bytes(
+        np.frombuffer("".join(reads[:200]).replace("N", "A").encode(), np.uint8)
+    )
+    read_kmers = oracle.kmer_hashes(codes, k)
+    entry = np.unique(
+        np.concatenate(
+            [
+                rng.choice(read_kmers, min(sample, len(read_kmers))),
+                rng.integers(0, 1 << 62, n_extra, dtype=np.uint64)
+                & np.uint64(4**k - 1 if k < 32 else -1),
+            ]
+        )
+    )
+    nodes = rng.integers(0, n_nodes, len(entry)).astype(np.int32)
+    return ki.TpuKmerIndex.from_entries(entry, nodes)
+
+
 def main():
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    from kmer_mapper_tpu import oracle, pipeline
-    from kmer_mapper_tpu.index import kmer_index as ki
+    from kmer_mapper_tpu import pipeline
 
     tmp = Path("/tmp/kmt_bench")
     tmp.mkdir(exist_ok=True)
     rng = np.random.default_rng(0)
     rows = []
 
-    def run(name, fn):
+    def run(name, n_kmers, fn):
         t = time.perf_counter()
         out = fn()
         dt = time.perf_counter() - t
-        rows.append((name, dt, out))
-        log(f"{name}: {dt:.2f}s ({out})")
+        rate = n_kmers / dt / 1e6
+        rows.append((name, dt, rate, int(out.sum())))
+        log(f"{name}: {dt:.2f}s, {rate:.1f} Mkmers/s, sum={int(out.sum())}")
 
-    # config 1: toy
-    arrays = ki.build_toy_index(n_unique=2000, k=31, n_nodes=500, seed=1)
-    idx_path = tmp / "toy.npz"
-    ki.save_reference_npz(idx_path, arrays)
-    reads1 = make_reads_file(tmp / "toy.fa", rng, 2000)
-    run("1 toy fa + toy npz", lambda: f"sum={pipeline.map_file(str(idx_path), reads1, k=31).sum()}")
+    # config 1: toy single chunk
+    reads1 = make_reads(rng, 2000)
+    idx1 = index_from_reads(rng, reads1, 31, 2000, 500)
+    p1 = write_reads(tmp / "toy.fa", reads1)
+    nk1 = 2000 * (151 - 30)
+    run("1 toy fa single chunk", nk1, lambda: pipeline.map_file(idx1, p1, k=31))
 
-    # shared large synthetic index built from read kmers
-    reads2 = make_reads_file(tmp / "big.fq.gz", rng, 60_000, gz=True, fastq=True)
-    sample = make_reads_file(tmp / "sample.fa", rng, 3000)
+    # config 2: gzipped FASTQ streaming, 4M-unique index
+    reads2 = make_reads(rng, 100_000)
+    idx2 = index_from_reads(rng, reads2, 31, 4_000_000, 3_000_000)
+    log(f"config-2 index: {idx2.n_unique} unique, {idx2.table.nbytes / 1e6:.0f} MB")
+    p2 = write_reads(tmp / "big.fq.gz", reads2, gz=True, fastq=True)
+    nk2 = 100_000 * (151 - 30)
+    run("2 gz fastq streaming", nk2, lambda: pipeline.map_file(idx2, p2, k=31))
 
-    def build_big(n_unique):
-        codes = oracle.encode_bytes(
-            np.frombuffer("".join("ACGT"[c] for c in rng.integers(0, 4, 500_000)).encode(), np.uint8)
-        )
-        kmers = oracle.kmer_hashes(codes, 31)
-        entry = np.unique(np.concatenate([
-            rng.integers(0, 1 << 62, n_unique, dtype=np.uint64), rng.choice(kmers, n_unique)]))
-        nodes = rng.integers(0, 3_000_000, len(entry)).astype(np.int32)
-        return ki.TpuKmerIndex.from_entries(entry, nodes)
-
-    big = build_big(4_000_000)
-    log(f"big index: {big.n_unique} unique, table {big.table.nbytes/1e6:.0f} MB")
-
-    # config 2: gz fastq streaming
-    run("2 gz fastq streaming", lambda: f"sum={pipeline.map_file(big, reads2, k=31).sum()}")
-
-    # config 3: k sweep with revcomp + N
-    readsN = make_reads_file(tmp / "n.fa", rng, 20_000, with_n=True)
+    # config 3: k sweep with revcomp + N reads
+    reads3 = make_reads(rng, 50_000, with_n=True)
+    p3 = write_reads(tmp / "n.fa", reads3)
     for k in (16, 21, 31):
+        idx3 = index_from_reads(rng, [r.replace("N", "A") for r in reads3], k, 500_000, 100_000)
+        nk3 = 2 * 50_000 * (151 - k + 1)  # fwd + revcomp
         run(
             f"3 k={k} revcomp+N",
-            lambda k=k: f"sum={pipeline.map_file(big, readsN, k=k, map_reverse_complements=True).sum()}",
+            nk3,
+            lambda idx3=idx3, k=k: pipeline.map_file(
+                idx3, p3, k=k, map_reverse_complements=True
+            ),
         )
 
-    # config 4: large HBM index (reuse big at larger read volume)
-    reads4 = make_reads_file(tmp / "vol.fa", rng, 120_000)
-    run("4 large index volume", lambda: f"sum={pipeline.map_file(big, reads4, k=31).sum()}")
+    # config 4: large HBM index, higher volume
+    reads4 = make_reads(rng, 300_000)
+    idx4 = index_from_reads(rng, reads4, 31, 16_000_000, 3_000_000, sample=100_000)
+    log(f"config-4 index: {idx4.n_unique} unique, {idx4.table.nbytes / 1e6:.0f} MB")
+    p4 = write_reads(tmp / "vol.fa", reads4)
+    nk4 = 300_000 * (151 - 30)
+    run("4 large index volume", nk4, lambda: pipeline.map_file(idx4, p4, k=31))
 
     # config 5: sharded over available devices
     n_dev = len(jax.devices())
     if n_dev >= 2:
         run(
             f"5 sharded x{n_dev}",
-            lambda: f"sum={pipeline.map_file_sharded(big, reads4, k=31, n_devices=n_dev, index_parallel=min(2, n_dev)).sum()}",
+            nk4,
+            lambda: pipeline.map_file_sharded(
+                idx4, p4, k=31, n_devices=n_dev, index_parallel=min(2, n_dev)
+            ),
         )
     else:
         log("5 sharded: skipped (single device)")
 
-    print("| config | wall (s) | result |")
-    print("|---|---|---|")
-    for name, dt, out in rows:
-        print(f"| {name} | {dt:.2f} | {out} |")
+    print("| config | wall (s) | Mkmers/s | node-count sum |")
+    print("|---|---|---|---|")
+    for name, dt, rate, total in rows:
+        print(f"| {name} | {dt:.2f} | {rate:.1f} | {total} |")
 
 
 if __name__ == "__main__":

@@ -157,3 +157,13 @@ def test_load_bundle(tmp_path):
         zf.writestr("kmer_index.npz", inner.getvalue())
     tpu = ki.load_index(bundle)
     assert tpu.max_node_id == index.max_node_id()
+
+
+def test_index_get_nodes():
+    kmers = np.array([5, 9, 5], dtype=np.uint64)
+    nodes = np.array([10, 11, 12], dtype=np.int32)
+    arrays = oracle.build_kmer_index(kmers, nodes, 101)
+    tpu = ki.TpuKmerIndex.from_arrays(arrays)
+    np.testing.assert_array_equal(np.sort(tpu.get(5)), [10, 12])
+    np.testing.assert_array_equal(tpu.get(9), [11])
+    assert len(tpu.get(12345)) == 0
