@@ -1,3 +1,3 @@
-from . import u32hash
+from . import encode, hashing, probe, stream_probe, u32hash
 
-__all__ = ["u32hash"]
+__all__ = ["encode", "hashing", "probe", "stream_probe", "u32hash"]

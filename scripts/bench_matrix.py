@@ -78,11 +78,14 @@ def main():
 
     def run(name, n_kmers, fn):
         t = time.perf_counter()
+        fn()  # warm-up: compile (cached across runs where possible)
+        warm = time.perf_counter() - t
+        t = time.perf_counter()
         out = fn()
         dt = time.perf_counter() - t
         rate = n_kmers / dt / 1e6
         rows.append((name, dt, rate, int(out.sum())))
-        log(f"{name}: {dt:.2f}s, {rate:.1f} Mkmers/s, sum={int(out.sum())}")
+        log(f"{name}: warm {warm:.1f}s, steady {dt:.2f}s = {rate:.1f} Mkmers/s, sum={int(out.sum())}")
 
     # config 1: toy single chunk
     reads1 = make_reads(rng, 2000)
@@ -134,7 +137,7 @@ def main():
     else:
         log("5 sharded: skipped (single device)")
 
-    print("| config | wall (s) | Mkmers/s | node-count sum |")
+    print("| config | steady wall (s) | Mkmers/s | node-count sum |")
     print("|---|---|---|---|")
     for name, dt, rate, total in rows:
         print(f"| {name} | {dt:.2f} | {rate:.1f} | {total} |")
