@@ -149,6 +149,9 @@ def _resolve_index_arg(args):
 
 
 def _cmd_map(args):
+    if not 1 <= args.kmer_size <= 31:
+        logger.error("kmer size must be in [1, 31] (62-bit hashes); got %d", args.kmer_size)
+        sys.exit(1)
     if _parse_bool(args.debug):
         logging.getLogger().setLevel(logging.DEBUG)
         logger.info("Will print debug log")

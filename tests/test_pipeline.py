@@ -208,3 +208,36 @@ def test_cli_multi_device(tmp_path):
     np.testing.assert_array_equal(
         np.load(str(out) + ".npy"), _oracle_counts(arrays, reads, k)
     )
+
+
+def test_map_file_empty_fasta(tmp_path):
+    k = 7
+    rng = np.random.default_rng(31)
+    arrays = _index_from_reads(rng, _make_reads(rng, n=5), k)
+    path = tmp_path / "empty.fa"
+    path.write_text("")
+    got = pipeline.map_file(ki.TpuKmerIndex.from_arrays(arrays), str(path), k=k)
+    np.testing.assert_array_equal(got, 0)
+    assert got.shape == (arrays.max_node_id() + 1,)
+
+
+def test_map_file_reads_shorter_than_k(tmp_path):
+    k = 31
+    rng = np.random.default_rng(37)
+    arrays = _index_from_reads(rng, _make_reads(rng, n=5, lo=40, hi=60), k)
+    path = _write_fasta(tmp_path / "short.fa", ["ACGT", "GG", "ACGTACGT"])
+    got = pipeline.map_file(ki.TpuKmerIndex.from_arrays(arrays), str(path), k=k)
+    np.testing.assert_array_equal(got, 0)
+
+
+def test_cli_k_out_of_range(tmp_path):
+    rng = np.random.default_rng(41)
+    arrays = _index_from_reads(rng, _make_reads(rng, n=5), 7)
+    index_path = tmp_path / "index.npz"
+    ki.save_reference_npz(index_path, arrays)
+    reads_path = _write_fasta(tmp_path / "r.fa", ["ACGTACGT"])
+    with pytest.raises(SystemExit):
+        run_argument_parser(
+            ["map", "-i", str(index_path), "-f", reads_path, "-o", str(tmp_path / "o"),
+             "-k", "40"]
+        )
