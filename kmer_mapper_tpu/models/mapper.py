@@ -163,7 +163,9 @@ class KmerMapper:
     @property
     def n_kmers_mapped(self) -> int:
         if self._stats:
-            self._total_kmers += sum(int(x) for x in jax.device_get(self._stats))
+            # one stacked transfer (per-scalar fetches cost an RTT each)
+            fetched = jax.device_get(jnp.stack(self._stats))
+            self._total_kmers += int(np.asarray(fetched, dtype=np.uint64).sum())
             self._stats = []
         return self._total_kmers
 

@@ -209,8 +209,8 @@ class ShardedKmerMapper:
     @property
     def n_kmers_mapped(self) -> int:
         if self._stats:
-            fetched = jax.device_get(self._stats)
-            self._total_kmers += int(sum(np.asarray(x).sum() for x in fetched))
+            fetched = jax.device_get(jnp.stack(self._stats))
+            self._total_kmers += int(np.asarray(fetched, dtype=np.uint64).sum())
             self._stats = []
         return self._total_kmers
 
