@@ -79,13 +79,20 @@ def chunk_step(
     valid = hashing.window_mask(starts, n_bases, k, buf)
     n_valid = jnp.sum(valid.astype(jnp.uint32))
 
+    lo, hi = hashing.rolling_kmer_hash(codes, k)
     if config.probe == "stream":
-        def probe_and_count(counts, q_lo, q_hi):
-            return stream_probe.stream_probe_count(
-                key_lo, key_hi, counts, q_lo, q_hi, valid,
-                seed, max_probe, interpret=config.interpret,
-                block_probe=block_probe,
-            )
+        # revcomp queries ride the same sort + single table sweep
+        q_lo, q_hi, q_valid = lo, hi, valid
+        if config.revcomp:
+            rlo, rhi = hashing.rolling_revcomp_hash(codes, k)
+            q_lo = jnp.concatenate([lo, rlo])
+            q_hi = jnp.concatenate([hi, rhi])
+            q_valid = jnp.concatenate([valid, valid])
+        counts = stream_probe.stream_probe_count(
+            key_lo, key_hi, counts, q_lo, q_hi, q_valid,
+            seed, max_probe, interpret=config.interpret,
+            block_probe=block_probe,
+        )
     else:
         accumulate = probe.ACCUMULATORS[config.accumulate]
 
@@ -93,11 +100,10 @@ def chunk_step(
             bucket, mask = probe.probe_hits(key_lo, key_hi, q_lo, q_hi, max_probe, seed)
             return accumulate(counts, bucket, mask, valid)
 
-    lo, hi = hashing.rolling_kmer_hash(codes, k)
-    counts = probe_and_count(counts, lo, hi)
-    if config.revcomp:
-        rlo, rhi = hashing.rolling_revcomp_hash(codes, k)
-        counts = probe_and_count(counts, rlo, rhi)
+        counts = probe_and_count(counts, lo, hi)
+        if config.revcomp:
+            rlo, rhi = hashing.rolling_revcomp_hash(codes, k)
+            counts = probe_and_count(counts, rlo, rhi)
     return counts, n_valid
 
 

@@ -79,9 +79,9 @@ def make_sharded_step(
             else:
                 bp_local = None
 
-            def probe_and_count(c, q_lo, q_hi):
+            def probe_and_count_stream(c, q_lo, q_hi, q_valid):
                 sb, slo, shi = stream_probe.sort_queries(
-                    q_lo, q_hi, valid, n_buckets, seed
+                    q_lo, q_hi, q_valid, n_buckets, seed
                 )
                 off = stream_probe.block_offsets(
                     sb, n_buckets, chain_block, bucket_base=row_offset, n_local=nb_local
@@ -117,10 +117,19 @@ def make_sharded_step(
                 return accumulate(c, bucket, mask, valid)
 
         lo, hi = hashing.rolling_kmer_hash(codes, k)
-        c = probe_and_count(c, lo, hi)
-        if config.revcomp:
-            rlo, rhi = hashing.rolling_revcomp_hash(codes, k)
-            c = probe_and_count(c, rlo, rhi)
+        if config.probe == "stream":
+            q_lo, q_hi, q_valid = lo, hi, valid
+            if config.revcomp:
+                rlo, rhi = hashing.rolling_revcomp_hash(codes, k)
+                q_lo = jnp.concatenate([lo, rlo])
+                q_hi = jnp.concatenate([hi, rhi])
+                q_valid = jnp.concatenate([valid, valid])
+            c = probe_and_count_stream(c, q_lo, q_hi, q_valid)
+        else:
+            c = probe_and_count(c, lo, hi)
+            if config.revcomp:
+                rlo, rhi = hashing.rolling_revcomp_hash(codes, k)
+                c = probe_and_count(c, rlo, rhi)
         return c[None], n_valid[None]
 
     step = jax.shard_map(
