@@ -129,9 +129,13 @@ def map_file(
     with span("node count finalization", logging.INFO):
         node_counts = mapper.node_counts(max_frequency=max_frequency)
     log_memory_usage_now("after mapping")
+    n_kmers = mapper.n_kmers_mapped
+    n_hits = int(mapper.slot_counts().sum())
     logger.info(
-        "Mapped %d kmers from %d chunks in %.3f sec total",
-        mapper.n_kmers_mapped,
+        "Mapped %d kmers (%d index hits, %.1f%%) from %d chunks in %.3f sec total",
+        n_kmers,
+        n_hits,
+        100 * n_hits / max(1, n_kmers),
         n_chunks,
         time.perf_counter() - t_start,
     )

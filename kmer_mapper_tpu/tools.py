@@ -1,4 +1,5 @@
-"""Small data utilities (reference dev-script parity: ``shuffle_fasta.py``)."""
+"""Small data utilities (reference parity: ``shuffle_fasta.py``, the
+``read_fasta``/``remap_array`` helpers of ``kmer_mapper/util.py:17-29``)."""
 from __future__ import annotations
 
 import random
@@ -6,6 +7,21 @@ import random
 import numpy as np
 
 from .io import readers
+
+
+def read_fasta(file_name: str):
+    """Yield raw sequence lines of a FASTA file (``util.py:17-23`` parity)."""
+    with open(file_name, "rb") as f:
+        for line in f:
+            if line[:1] != b">":
+                yield line
+
+
+def remap_array(array: np.ndarray, from_values, to_values) -> np.ndarray:
+    """Map values of ``array`` through a (from -> to) table
+    (``util.py:27-29`` parity)."""
+    index = np.digitize(array.ravel(), from_values, right=True)
+    return np.asarray(to_values)[index].reshape(np.asarray(array).shape)
 
 
 def shuffle_fasta(in_path: str, out_path: str, seed: int | None = None) -> int:
