@@ -146,3 +146,28 @@ def test_pack_for_device_long_read_split_preserves_kmers(tmp_path):
     got = np.concatenate(all_kmers)
     expect = oracle.kmer_hashes(oracle.encode_string(long_read), k)
     np.testing.assert_array_equal(got, expect)
+
+
+def test_threaded_gz_reader_matches_plain(tmp_path):
+    rng = np.random.default_rng(5)
+    seqs = ["".join(rng.choice(list("ACGT"), 80)) for _ in range(500)]
+    text = "".join(f">r{i}\n{s}\n" for i, s in enumerate(seqs))
+    path = tmp_path / "x.fa.gz"
+    with gzip.open(path, "wt") as f:
+        f.write(text)
+    threaded = readers.open_bytes(str(path), threaded_gz=True)
+    plain = readers.open_bytes(str(path), threaded_gz=False)
+    a = b"".join(iter(lambda: threaded.read(7777), b""))
+    b = plain.read(1 << 30)
+    assert a == b
+    threaded.close()
+    plain.close()
+
+
+def test_threaded_reader_propagates_errors(tmp_path):
+    path = tmp_path / "bad.fa.gz"
+    path.write_bytes(b"not gzip at all")
+    stream = readers.open_bytes(str(path))
+    with pytest.raises(Exception):
+        while stream.read(4096):
+            pass

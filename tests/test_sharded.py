@@ -137,3 +137,17 @@ def test_sharded_stream_probe_matches_oracle():
     mapper = ShardedKmerMapper(tpu, config, mesh)
     _run(mapper, reads, config)
     np.testing.assert_array_equal(mapper.node_counts(), expect)
+
+    # fused revcomp on the sharded stream path
+    config_rc = MapperConfig(
+        k=k, buf=1024, max_reads=64, probe="stream", interpret=True, revcomp=True
+    )
+    mapper_rc = ShardedKmerMapper(tpu, config_rc, mesh)
+    _run(mapper_rc, reads, config_rc)
+    codes = [oracle.encode_string(r) for r in reads]
+    fwd = oracle.kmer_hashes_ragged(
+        np.concatenate(codes), np.array([len(c) for c in codes]), k
+    )
+    queries = np.concatenate([fwd, oracle.revcomp_hash(fwd, k)])
+    expect_rc = oracle.map_kmers_to_index(arrays, queries)
+    np.testing.assert_array_equal(mapper_rc.node_counts(), expect_rc)
