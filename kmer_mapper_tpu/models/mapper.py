@@ -45,12 +45,15 @@ class MapperConfig:
     probe: str = "gather"  # "stream" | "gather"; default_config picks per backend
     accumulate: str = "scatter"  # gather-probe accumulator (see ops.probe)
     interpret: bool = False  # run Pallas kernels in interpreter mode (CPU)
+    super_batch: int = 1  # chunks folded into one dispatch (lax.scan): amortizes
+    # per-dispatch runtime latency without growing the per-chunk sort
 
     def __post_init__(self):
         assert 1 <= self.k <= 31
         assert self.buf % encode.BASES_PER_WORD == 0
         assert self.probe in ("stream", "gather")
         assert self.accumulate in probe.ACCUMULATORS
+        assert self.super_batch >= 1
 
     @property
     def packed_words(self) -> int:
@@ -108,12 +111,27 @@ def chunk_step(
 
 
 def make_step(config: MapperConfig, max_probe: int, seed: int, block_probe=None):
-    """Compile the chunk step; count state donated for in-place accumulation."""
+    """Compile the chunk step; count state donated for in-place accumulation.
+
+    With ``config.super_batch > 1`` the step takes stacked inputs
+    (packed[S, W], lengths[S, R], n_bases[S]) and scans the per-chunk step
+    inside one executable, returning per-chunk n_valid[S]."""
     fn = functools.partial(
         chunk_step, config=config, max_probe=max_probe, seed=seed,
         block_probe=block_probe,
     )
-    return jax.jit(fn, donate_argnums=(2,))
+    if config.super_batch == 1:
+        return jax.jit(fn, donate_argnums=(2,))
+
+    def scanned(key_lo, key_hi, counts, packed_s, lengths_s, n_bases_s):
+        def body(counts, xs):
+            packed, lengths, n_bases = xs
+            counts, n_valid = fn(key_lo, key_hi, counts, packed, lengths, n_bases)
+            return counts, n_valid
+
+        return jax.lax.scan(body, counts, (packed_s, lengths_s, n_bases_s))
+
+    return jax.jit(scanned, donate_argnums=(2,))
 
 
 def default_config(**kwargs) -> MapperConfig:
@@ -123,6 +141,8 @@ def default_config(**kwargs) -> MapperConfig:
     kwargs.setdefault("probe", "stream" if on_tpu else "gather")
     if kwargs["probe"] == "stream":
         kwargs.setdefault("interpret", not on_tpu)
+    if on_tpu:
+        kwargs.setdefault("super_batch", 4)
     return MapperConfig(**kwargs)
 
 
@@ -149,25 +169,56 @@ class KmerMapper:
             config, index.table.max_probe, index.table.seed, block_probe
         )
         self._stats: list[jnp.ndarray] = []  # per-chunk n_valid device scalars
+        self._pending: list = []  # host-buffered chunks awaiting a super-batch
         self._total_kmers = 0
         self.n_invalid_bases = 0
 
     def map_chunk(
         self, packed: np.ndarray, lengths: np.ndarray, n_bases: int, n_invalid: int = 0
     ) -> None:
+        self.n_invalid_bases += n_invalid
+        if self.config.super_batch == 1:
+            self.counts, n_valid = self._step(
+                self.key_lo,
+                self.key_hi,
+                self.counts,
+                jnp.asarray(packed),
+                jnp.asarray(lengths),
+                jnp.int32(n_bases),
+            )
+            self._stats.append(n_valid)
+            return
+        self._pending.append((packed, lengths, np.int32(n_bases)))
+        if len(self._pending) == self.config.super_batch:
+            self._dispatch_pending()
+
+    def _dispatch_pending(self) -> None:
+        if not self._pending:
+            return
+        s = self.config.super_batch
+        packed_s = np.zeros((s, self.config.packed_words), dtype=np.uint32)
+        lengths_s = np.zeros((s, self.config.max_reads), dtype=np.uint16)
+        n_bases_s = np.zeros(s, dtype=np.int32)
+        for i, (p, ln, nb) in enumerate(self._pending):
+            packed_s[i], lengths_s[i], n_bases_s[i] = p, ln, nb
+        self._pending = []
         self.counts, n_valid = self._step(
             self.key_lo,
             self.key_hi,
             self.counts,
-            jnp.asarray(packed),
-            jnp.asarray(lengths),
-            jnp.int32(n_bases),
+            jnp.asarray(packed_s),
+            jnp.asarray(lengths_s),
+            jnp.asarray(n_bases_s),
         )
-        self._stats.append(n_valid)
-        self.n_invalid_bases += n_invalid
+        self._stats.append(jnp.sum(n_valid))
+
+    def flush(self) -> None:
+        """Dispatch any buffered sub-batch (padded with empty chunks)."""
+        self._dispatch_pending()
 
     @property
     def n_kmers_mapped(self) -> int:
+        self.flush()
         if self._stats:
             # one stacked transfer (per-scalar fetches cost an RTT each)
             fetched = jax.device_get(jnp.stack(self._stats))
@@ -225,10 +276,12 @@ class KmerMapper:
         with np.load(path, allow_pickle=False) as data:
             self.counts = jax.device_put(data["counts"])
             self._stats = []
+            self._pending = []
             self._total_kmers = int(data["n_kmers"])
             self.n_invalid_bases = int(data["n_invalid"])
 
     def slot_counts(self) -> np.ndarray:
+        self.flush()
         return np.asarray(jax.device_get(self.counts))
 
     def node_counts(self, max_frequency: int = 1000) -> np.ndarray:

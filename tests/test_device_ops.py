@@ -205,3 +205,26 @@ def test_invalid_base_tracking_host():
     mapper = KmerMapper(tpu, config)
     mapper.map_chunk(*_pack_reads(["ACGXGA"], config))
     assert mapper.n_invalid_bases == 1
+
+
+def test_super_batch_matches_single_dispatch():
+    """super_batch folds chunks into one scanned dispatch; results identical."""
+    rng = np.random.default_rng(11)
+    k = 7
+    keys = np.unique(rng.integers(0, 4**k, 500, dtype=np.uint64))
+    tpu = ki.TpuKmerIndex.from_counter_keys(keys)
+    chunk_sets = []
+    base = MapperConfig(k=k, buf=512, max_reads=32)
+    for _ in range(7):  # 7 chunks: exercises a padded final super-batch
+        reads = ["".join(rng.choice(list("ACGT"), 40)) for _ in range(10)]
+        chunk_sets.append(_pack_reads(reads, base))
+
+    results = {}
+    for sb in (1, 3):
+        config = MapperConfig(k=k, buf=512, max_reads=32, super_batch=sb)
+        mapper = KmerMapper(tpu, config)
+        for c in chunk_sets:
+            mapper.map_chunk(*c)
+        results[sb] = (mapper.node_counts(), mapper.n_kmers_mapped)
+    np.testing.assert_array_equal(results[1][0], results[3][0])
+    assert results[1][1] == results[3][1]
