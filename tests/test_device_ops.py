@@ -220,11 +220,16 @@ def test_super_batch_matches_single_dispatch():
         chunk_sets.append(_pack_reads(reads, base))
 
     results = {}
-    for sb in (1, 3):
-        config = MapperConfig(k=k, buf=512, max_reads=32, super_batch=sb)
+    for name, kw in {
+        "sb1": dict(super_batch=1),
+        "sb3": dict(super_batch=3),
+        "sb3-stream": dict(super_batch=3, probe="stream", interpret=True),
+    }.items():
+        config = MapperConfig(k=k, buf=512, max_reads=32, **kw)
         mapper = KmerMapper(tpu, config)
         for c in chunk_sets:
             mapper.map_chunk(*c)
-        results[sb] = (mapper.node_counts(), mapper.n_kmers_mapped)
-    np.testing.assert_array_equal(results[1][0], results[3][0])
-    assert results[1][1] == results[3][1]
+        results[name] = (mapper.node_counts(), mapper.n_kmers_mapped)
+    for name in ("sb3", "sb3-stream"):
+        np.testing.assert_array_equal(results["sb1"][0], results[name][0])
+        assert results["sb1"][1] == results[name][1]
