@@ -27,11 +27,11 @@ def log(msg):
 
 K = 31
 READ_LEN = 151
-BUF = 4 << 20  # 4 Mi bases per chunk
-SUPER_BATCH = 8  # chunks per dispatch (per-dispatch latency is the noisiest
-# term through the tunnelled runtime; also amortizes launch overhead generally)
+BUF = 16 << 20  # 16 Mi bases per chunk: amortizes per-block kernel costs and
+# per-dispatch latency (measured optimum; 4 Mi chunks lose ~10%, lax.scan
+# super-batching loses ~20% to carry handling)
 N_UNIQUE = 4_000_000
-N_STEPS = 32
+N_STEPS = 8
 N_WINDOWS = 3  # steady-state windows; report the best (least service noise)
 BASELINE_SAMPLE_BASES = 2 << 20
 
@@ -81,8 +81,8 @@ def main():
 
     results = {}
     variants = {
-        "stream": dict(probe="stream", super_batch=SUPER_BATCH),
-        "gather+scatter": dict(probe="gather", accumulate="scatter", super_batch=SUPER_BATCH),
+        "stream": dict(probe="stream"),
+        "gather+scatter": dict(probe="gather", accumulate="scatter"),
     }
     for name, opts in variants.items():
         config = MapperConfig(k=K, buf=BUF, max_reads=BUF // 64, **opts)
