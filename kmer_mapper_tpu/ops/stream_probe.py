@@ -39,6 +39,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -51,10 +52,11 @@ DEFAULT_CAP = 1024  # queries per kernel tile (MXU lane-dim extent)
 
 
 def sort_queries(q_lo, q_hi, valid, n_buckets: int, seed: int):
-    """(sorted_bucket u32, sorted_lo, sorted_hi); invalid queries sort last."""
+    """(sorted_bucket u32, sorted_lo, sorted_hi); invalid queries sort last.
+    Unstable sort: counting is order-insensitive within a bucket."""
     b = bucket_of(q_lo, q_hi, n_buckets, seed=seed, xp=jnp)
     b = jnp.where(valid, b, INVALID_BUCKET)
-    return lax.sort((b, q_lo, q_hi), dimension=0, num_keys=1)
+    return lax.sort((b, q_lo, q_hi), dimension=0, num_keys=1, is_stable=False)
 
 
 def block_offsets(sorted_b, n_buckets: int, block: int, bucket_base=0, n_local=None):
@@ -70,7 +72,27 @@ def block_offsets(sorted_b, n_buckets: int, block: int, bucket_base=0, n_local=N
     bounds = jnp.uint32(bucket_base) + jnp.arange(
         n_blocks + 1, dtype=jnp.uint32
     ) * jnp.uint32(block)
-    return jnp.searchsorted(sorted_b, bounds).astype(jnp.int32)
+    return _searchsorted_u32(sorted_b, bounds)
+
+
+def _searchsorted_u32(sorted_vals, queries):
+    """Vectorized left bisection (jnp.searchsorted measured ~5 ms for a few
+    thousand queries on v5e; this runs in a handful of tiny gather steps)."""
+    n = sorted_vals.shape[0]
+    lo = jnp.zeros(queries.shape, dtype=jnp.int32)
+    hi = jnp.full(queries.shape, n, dtype=jnp.int32)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = (lo + hi) // 2
+        below = sorted_vals[jnp.minimum(mid, n - 1)] < queries
+        lo = jnp.where(below, mid + 1, lo)
+        hi = jnp.where(below, hi, mid)
+        return lo, hi
+
+    steps = max(1, int(np.ceil(np.log2(max(2, n)))))
+    lo, hi = lax.fori_loop(0, steps, body, (lo, hi))
+    return lo
 
 
 def _bytes8(lo, hi):
