@@ -181,3 +181,15 @@ def test_block_max_probe_and_chain_skip():
         block_probe=bp,
     )
     np.testing.assert_array_equal(np.asarray(out), _expect(table, queries, valid))
+
+
+def test_custom_bisection_matches_numpy_searchsorted():
+    rng = np.random.default_rng(13)
+    vals = np.sort(rng.integers(0, 1 << 32, 10000, dtype=np.uint32))
+    queries = np.concatenate(
+        [vals[::37], rng.integers(0, 1 << 32, 500, dtype=np.uint32),
+         np.array([0, vals[0], vals[-1], 0xFFFFFFFF], dtype=np.uint32)]
+    )
+    got = np.asarray(stream_probe._searchsorted_u32(jnp.asarray(vals), jnp.asarray(queries)))
+    expect = np.searchsorted(vals, queries, side="left")
+    np.testing.assert_array_equal(got, expect)
