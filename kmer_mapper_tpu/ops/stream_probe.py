@@ -84,10 +84,11 @@ def _searchsorted_u32(sorted_vals, queries):
 
     def body(_, carry):
         lo, hi = carry
+        live = lo < hi
         mid = (lo + hi) // 2
         below = sorted_vals[jnp.minimum(mid, n - 1)] < queries
-        lo = jnp.where(below, mid + 1, lo)
-        hi = jnp.where(below, hi, mid)
+        lo = jnp.where(live & below, mid + 1, lo)
+        hi = jnp.where(live & ~below, mid, hi)
         return lo, hi
 
     steps = max(1, int(np.ceil(np.log2(max(2, n)))))
