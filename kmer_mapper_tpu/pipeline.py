@@ -101,23 +101,37 @@ def map_file(
     n_bytes = os.stat(reads_path).st_size
     if reads_path.endswith(".gz"):
         n_bytes = int(n_bytes * GZIP_EXPANSION)
-    approx_chunks = max(1, n_bytes // chunk_size)
-    logger.info("N bytes of reads: %d (~%d chunks)", n_bytes, approx_chunks)
+    # bases per raw byte: FASTQ carries quality + headers (~0.48), FASTA ~0.95
+    fmt = readers.detect_format(reads_path)
+    approx_bases = int(n_bytes * (0.48 if fmt == "fastq" else 0.95))
+    approx_chunks = max(1, approx_bases // mapper.config.buf)
+    logger.info("N bytes of reads: %d (~%d device buffers)", n_bytes, approx_chunks)
 
     t_map = time.perf_counter()
     n_chunks = 0
-    for packed_codes, lengths, n_bases, n_reads, n_invalid in prefetch(
-        packed, depth=queue_depth
-    ):
+    chunk_iter = prefetch(packed, depth=queue_depth)
+    bar = None
+    if progress:
+        try:  # tqdm progress over estimated chunk count (reference :94,114)
+            import tqdm
+
+            bar = tqdm.tqdm(total=max(approx_chunks, 1), unit="chunk", smoothing=0.1)
+        except ImportError:
+            pass
+    for packed_codes, lengths, n_bases, n_reads, n_invalid in chunk_iter:
         mapper.map_chunk(packed_codes, lengths, n_bases, n_invalid)
         n_chunks += 1
-        if progress and n_chunks % 200 == 0:
+        if bar is not None:
+            bar.update(min(1, bar.total - bar.n))
+        elif progress and n_chunks % 200 == 0:
             logger.info(
                 "chunk %d/~%d (%.1f%%)",
                 n_chunks,
                 approx_chunks,
                 100 * min(1.0, n_chunks / approx_chunks),
             )
+    if bar is not None:
+        bar.close()
     logger.info(
         "Time spent only on hashing and counting hashes: %.4f",
         time.perf_counter() - t_map,
