@@ -15,10 +15,10 @@ Input formats mirror the reference's index resolution
 5. this package's own prebuilt ``.tpuidx.npz`` (table + finalization arrays),
    which skips the re-layout cost on reload.
 
-Whatever the input, loading produces a :class:`TpuKmerIndex`: the power-of-two
-bucketized open-addressing table of *unique* kmers (see ``layout.py``) plus the
-per-entry finalization arrays used to turn unique-kmer counts into graph-node
-counts with the reference's exact per-entry frequency-filter semantics
+Whatever the input, loading produces a :class:`TpuKmerIndex`: the block-chained
+bucket table of *unique* kmers (see ``layout.py``) plus the per-entry
+finalization arrays used to turn unique-kmer counts into graph-node counts with
+the reference's exact per-entry frequency-filter semantics
 (``kmer_mapper/mapper.pyx:58-68``).
 """
 from __future__ import annotations
@@ -54,6 +54,10 @@ def load_reference_npz(path_or_file) -> KmerIndexArrays:
     n = len(fields["kmers"])
     if fields["frequencies"] is None:
         fields["frequencies"] = np.ones(n, dtype=np.uint16)  # minimal index form
+    if fields["n_kmers"] is None:
+        # bucket lengths are derivable from consecutive bucket start offsets
+        starts = fields["hashes_to_index"].astype(np.int64)
+        fields["n_kmers"] = np.diff(np.append(starts, n))
     modulo = int(np.asarray(fields["modulo"]).reshape(-1)[0])
     return KmerIndexArrays(
         hashes_to_index=fields["hashes_to_index"].astype(np.int32),

@@ -47,6 +47,7 @@ class MapperConfig:
     interpret: bool = False  # run Pallas kernels in interpreter mode (CPU)
     super_batch: int = 1  # chunks folded into one dispatch (lax.scan): amortizes
     # per-dispatch runtime latency without growing the per-chunk sort
+    stream_cap: int = 0  # stream-kernel query tile size (0 = DEFAULT_CAP)
 
     def __post_init__(self):
         assert 1 <= self.k <= 31
@@ -93,7 +94,9 @@ def chunk_step(
             q_valid = jnp.concatenate([valid, valid])
         counts = stream_probe.stream_probe_count(
             key_lo, key_hi, counts, q_lo, q_hi, q_valid,
-            seed, max_probe, interpret=config.interpret,
+            seed, max_probe,
+            cap=config.stream_cap or stream_probe.DEFAULT_CAP,
+            interpret=config.interpret,
             block_probe=block_probe,
         )
     else:
