@@ -56,8 +56,10 @@ def load_reference_npz(path_or_file) -> KmerIndexArrays:
         fields["frequencies"] = np.ones(n, dtype=np.uint16)  # minimal index form
     if fields["n_kmers"] is None:
         # bucket lengths are derivable from consecutive bucket start offsets
+        # (best effort; only the oracle probe uses them — the TPU layout is
+        # rebuilt from the entry arrays regardless)
         starts = fields["hashes_to_index"].astype(np.int64)
-        fields["n_kmers"] = np.diff(np.append(starts, n))
+        fields["n_kmers"] = np.maximum(np.diff(np.append(starts, n)), 0)
     modulo = int(np.asarray(fields["modulo"]).reshape(-1)[0])
     return KmerIndexArrays(
         hashes_to_index=fields["hashes_to_index"].astype(np.int32),
