@@ -135,3 +135,15 @@ def test_pipeline_native_vs_numpy_counts(tmp_path, monkeypatch):
     np.testing.assert_array_equal(native_counts, numpy_counts)
     expect = oracle.map_kmers_to_index(arrays, read_kmers)
     np.testing.assert_array_equal(native_counts, expect)
+
+
+def test_fastq_long_read_resume_across_buffers():
+    """A FASTQ record longer than a whole device buffer resumes across
+    buffers with k-1 overlap, matching the numpy packer exactly."""
+    rng = np.random.default_rng(6)
+    long_seq = "".join(rng.choice(list("ACGT"), 2000))
+    data = (
+        f"@a\n{long_seq}\n+\n{'I' * 2000}\n@b\nACGTACGTACGT\n+\n{'I' * 12}\n"
+    ).encode()
+    args = ("fastq", 256, 64, 21, 128)
+    _assert_same(_native_path(data, *args), _numpy_path(data, *args))
