@@ -167,3 +167,21 @@ def test_index_get_nodes():
     np.testing.assert_array_equal(np.sort(tpu.get(5)), [10, 12])
     np.testing.assert_array_equal(tpu.get(9), [11])
     assert len(tpu.get(12345)) == 0
+
+
+def test_empty_index():
+    tpu = ki.TpuKmerIndex.from_counter_keys(np.zeros(0, dtype=np.uint64))
+    slots = layout.query_table(tpu.table, np.array([1, 2, 3], dtype=np.uint64))
+    np.testing.assert_array_equal(slots, -1)
+    counts = tpu.node_counts(np.zeros(tpu.table.n_slots, np.uint32))
+    assert counts.shape == (1,)
+
+
+def test_sentinel_like_keys_are_valid():
+    """lo == 0xFFFFFFFF with hi == 0 is a legal kmer (k <= 16) and must not be
+    confused with the empty sentinel (0xFFFFFFFF, 0xFFFFFFFF)."""
+    keys = np.array([0xFFFFFFFF, 0xFFFF, 1], dtype=np.uint64)
+    table = layout.build_table(keys)
+    slots = layout.query_table(table, keys)
+    assert (slots >= 0).all()
+    assert len(np.unique(slots)) == 3
