@@ -54,6 +54,55 @@ def in_graph_index(
     return mapper.in_index(np.asarray(kmers, dtype=np.uint64))
 
 
+class TpuCounter:
+    """API-shaped counterpart of the reference's ``GpuCounter``
+    (``kmer_mapper/gpu_counter.py``): build a device counter from the index's
+    (kmers, nodes), stream uint64 hash batches through ``count`` (optionally
+    with on-device reverse complements), then convert unique-kmer counts to
+    node counts. Backed by the block-chained table + probe kernels instead of
+    cucounter's CUDA atomics."""
+
+    def __init__(self, unique_kmers, kmers, nodes, k: int):
+        self.unique_kmers = np.asarray(unique_kmers, dtype=np.uint64)
+        self.kmers = np.asarray(kmers, dtype=np.uint64)
+        self.nodes = np.asarray(nodes, dtype=np.int32)
+        self.k = k
+        self._mapper: KmerMapper | None = None
+
+    @classmethod
+    def from_kmers_and_nodes(cls, kmers, nodes, k: int) -> "TpuCounter":
+        return cls(np.unique(kmers), kmers, nodes, k)
+
+    def initialize(self, *_ignored) -> None:
+        """Build the device table (``initialize_cuda`` analog; the table size
+        argument is ignored — sizing is derived from the key set)."""
+        index = TpuKmerIndex.from_counter_keys(self.unique_kmers)
+        self._mapper = KmerMapper(index, MapperConfig(k=self.k, buf=256, max_reads=16))
+
+    initialize_cuda = initialize  # drop-in name
+
+    def count(self, kmers, count_revcomps: bool = False) -> None:
+        if self._mapper is None:
+            self.initialize()
+        kmers = np.asarray(kmers, dtype=np.uint64)
+        self._mapper.map_hashes(kmers)
+        if count_revcomps:
+            self._mapper.map_hashes(oracle.revcomp_hash(kmers, self.k))
+
+    def get_node_counts(self, min_nodes: int = 0) -> np.ndarray:
+        """Distribute unique-kmer counts to index entries and bincount by node
+        (``gpu_counter.py:26-37`` semantics: length = max(min_nodes,
+        max_node + 1); uint32 rather than float64)."""
+        assert self._mapper is not None, "count() nothing yet"
+        got_kmers, got_counts = self._mapper.kmer_counts()
+        out = oracle.node_counts_from_kmer_counts(
+            self.kmers, self.nodes, got_kmers, got_counts, min_nodes=0
+        )
+        if len(out) < min_nodes:
+            out = np.pad(out, (0, min_nodes - len(out)))
+        return out
+
+
 # numpy-only equivalents (no accelerator required)
 map_kmers_to_graph_index_numpy = oracle.map_kmers_to_index
 in_graph_index_numpy = oracle.in_index

@@ -64,3 +64,33 @@ def test_shuffle_fasta(tmp_path):
             out_reads.append(line)
     assert sorted(out_reads) == sorted(reads)
     assert out_reads != reads  # actually shuffled
+
+
+def test_tpu_counter_gpu_path_parity():
+    """TpuCounter reproduces the reference GpuCounter toy case
+    (reference tests/test_gpucounter.py:40-48): counting kmers
+    [1,1,1,2,3,1,3] against index kmers [1,2,3] with nodes [10,10,11,12]
+    yields the expected per-node totals."""
+    kmers = np.array([1, 2, 3, 3], dtype=np.uint64)
+    nodes = np.array([10, 11, 12, 12], dtype=np.int32)
+    counter = compat.TpuCounter.from_kmers_and_nodes(kmers, nodes, k=3)
+    counter.initialize_cuda(0)
+    counter.count(np.array([1, 1, 1, 2, 3, 1, 3], dtype=np.uint64))
+    got = counter.get_node_counts(min_nodes=20)
+    expect = np.zeros(20, dtype=np.uint32)
+    expect[10] = 4  # kmer 1 counted 4 times, node 10
+    expect[11] = 1  # kmer 2 once
+    expect[12] = 4  # kmer 3 twice, two index entries carry it
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_tpu_counter_revcomps():
+    k = 4
+    fwd = oracle.kmer_hashes(oracle.encode_string("AAAC"), k)  # revcomp = GTTT
+    rc = oracle.revcomp_hash(fwd, k)
+    kmers = np.concatenate([fwd, rc])
+    nodes = np.array([1, 2], dtype=np.int32)
+    counter = compat.TpuCounter.from_kmers_and_nodes(kmers, nodes, k)
+    counter.count(fwd, count_revcomps=True)
+    got = counter.get_node_counts()
+    np.testing.assert_array_equal(got, [0, 1, 1])
