@@ -8,7 +8,7 @@ reference's numpy/Cython semantics, scaling over TPU meshes via shard_map.
 """
 
 from . import oracle
-from .compat import in_graph_index, map_kmers_to_graph_index
+from .compat import TpuCounter, in_graph_index, map_kmers_to_graph_index
 from .index.kmer_index import (
     TpuKmerIndex,
     load_index,
@@ -37,5 +37,6 @@ __all__ = [
     "map_sequences",
     "map_kmers_to_graph_index",
     "in_graph_index",
+    "TpuCounter",
     "__version__",
 ]
