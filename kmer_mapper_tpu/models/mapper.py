@@ -77,18 +77,17 @@ def chunk_step(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (counts', n_valid_windows uint32)."""
     k, buf = config.k, config.buf
-    codes = encode.unpack_codes(packed)[: buf + k]
     lengths = lengths.astype(jnp.int32)
     starts = jnp.cumsum(lengths) - lengths  # exclusive prefix sum
     valid = hashing.window_mask(starts, n_bases, k, buf)
     n_valid = jnp.sum(valid.astype(jnp.uint32))
 
-    lo, hi = hashing.rolling_kmer_hash(codes, k)
+    lo, hi = hashing.rolling_kmer_hash_packed(packed, k)  # buf windows exactly
     if config.probe == "stream":
         # revcomp queries ride the same sort + single table sweep
         q_lo, q_hi, q_valid = lo, hi, valid
         if config.revcomp:
-            rlo, rhi = hashing.rolling_revcomp_hash(codes, k)
+            rlo, rhi = hashing.revcomp_lo_hi(lo, hi, k)
             q_lo = jnp.concatenate([lo, rlo])
             q_hi = jnp.concatenate([hi, rhi])
             q_valid = jnp.concatenate([valid, valid])
@@ -108,7 +107,7 @@ def chunk_step(
 
         counts = probe_and_count(counts, lo, hi)
         if config.revcomp:
-            rlo, rhi = hashing.rolling_revcomp_hash(codes, k)
+            rlo, rhi = hashing.revcomp_lo_hi(lo, hi, k)
             counts = probe_and_count(counts, rlo, rhi)
     return counts, n_valid
 

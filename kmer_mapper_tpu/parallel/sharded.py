@@ -20,7 +20,7 @@ from jax.sharding import PartitionSpec as P
 from ..index import layout
 from ..index.kmer_index import TpuKmerIndex
 from ..models.mapper import MapperConfig
-from ..ops import encode, hashing, probe, stream_probe
+from ..ops import hashing, probe, stream_probe
 from .mesh import DATA_AXIS, INDEX_AXIS
 
 
@@ -61,7 +61,6 @@ def make_sharded_step(
     def local_step(counts, key_lo, key_hi, packed, lengths, n_bases):
         x = jax.lax.axis_index(INDEX_AXIS)
         row_offset = (x * nb_local).astype(jnp.int32)
-        codes = encode.unpack_codes(packed[0])[: buf + k]
         lengths_i = lengths[0].astype(jnp.int32)
         starts = jnp.cumsum(lengths_i) - lengths_i
         valid = hashing.window_mask(starts, n_bases[0], k, buf)
@@ -116,11 +115,11 @@ def make_sharded_step(
                 )
                 return accumulate(c, bucket, mask, valid)
 
-        lo, hi = hashing.rolling_kmer_hash(codes, k)
+        lo, hi = hashing.rolling_kmer_hash_packed(packed[0], k)
         if config.probe == "stream":
             q_lo, q_hi, q_valid = lo, hi, valid
             if config.revcomp:
-                rlo, rhi = hashing.rolling_revcomp_hash(codes, k)
+                rlo, rhi = hashing.revcomp_lo_hi(lo, hi, k)
                 q_lo = jnp.concatenate([lo, rlo])
                 q_hi = jnp.concatenate([hi, rhi])
                 q_valid = jnp.concatenate([valid, valid])
@@ -128,7 +127,7 @@ def make_sharded_step(
         else:
             c = probe_and_count(c, lo, hi)
             if config.revcomp:
-                rlo, rhi = hashing.rolling_revcomp_hash(codes, k)
+                rlo, rhi = hashing.revcomp_lo_hi(lo, hi, k)
                 c = probe_and_count(c, rlo, rhi)
         return c[None], n_valid[None]
 

@@ -233,3 +233,33 @@ def test_super_batch_matches_single_dispatch():
     for name in ("sb3", "sb3-stream"):
         np.testing.assert_array_equal(results["sb1"][0], results[name][0])
         assert results["sb1"][1] == results[name][1]
+
+
+@pytest.mark.parametrize("k", [1, 4, 15, 16, 17, 31])
+def test_packed_rolling_hash_matches_oracle(k):
+    rng = np.random.default_rng(k + 200)
+    n = 512
+    codes = rng.integers(0, 4, n).astype(np.uint8)
+    packed, _ = encode.host_encode_pack(
+        np.frombuffer("".join(oracle.ALPHABET[c] for c in codes).encode(), np.uint8),
+        n // 16 + 2,
+    )
+    lo, hi = hashing.rolling_kmer_hash_packed(jnp.asarray(packed), k)
+    got = join_u64(np.asarray(lo), np.asarray(hi))
+    expect = oracle.kmer_hashes(codes, k)
+    np.testing.assert_array_equal(got[: len(expect)], expect)
+    # identical to the unpack-based formulation on the padded tail too
+    codes_padded = np.concatenate([codes, np.zeros(32, np.uint8)]).astype(np.uint32)
+    lo2, hi2 = hashing.rolling_kmer_hash(jnp.asarray(codes_padded[: n + k]), k)
+    np.testing.assert_array_equal(np.asarray(lo)[:n], np.asarray(lo2)[:n])
+    np.testing.assert_array_equal(np.asarray(hi)[:n], np.asarray(hi2)[:n])
+
+
+@pytest.mark.parametrize("k", [1, 4, 16, 17, 31])
+def test_revcomp_lo_hi_matches_oracle(k):
+    rng = np.random.default_rng(k + 300)
+    kmers = rng.integers(0, 1 << (2 * k), 500, dtype=np.uint64)
+    lo, hi = split_u64(kmers)
+    rlo, rhi = hashing.revcomp_lo_hi(jnp.asarray(lo), jnp.asarray(hi), k)
+    got = join_u64(np.asarray(rlo), np.asarray(rhi))
+    np.testing.assert_array_equal(got, oracle.revcomp_hash(kmers, k))
