@@ -35,7 +35,7 @@ from ..ops.u32hash import bucket_of, split_u64
 logger = logging.getLogger(__name__)
 
 BUCKET_KEYS = 8  # keys per bucket
-CHAIN_BLOCK = 512  # buckets per chain block; chains wrap inside aligned blocks
+CHAIN_BLOCK = 128  # buckets per chain block (kernel tile / shard quantum; measured optimum on v5e)
 EMPTY = np.uint32(0xFFFFFFFF)
 DEFAULT_MAX_LOAD = 0.3
 MAX_PROBE_LIMIT = 8  # rebuild bigger if a chain would exceed this
