@@ -82,7 +82,6 @@ def main():
     results = {}
     variants = {
         "stream": dict(probe="stream"),
-        "stream-cap2048": dict(probe="stream", stream_cap=2048),
         "gather+scatter": dict(probe="gather", accumulate="scatter"),
     }
     for name, opts in variants.items():
