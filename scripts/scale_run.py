@@ -45,7 +45,9 @@ def main():
                 f.write(b"".join(parts))
         log(f"wrote {reads_path.stat().st_size / 1e9:.2f} GB in {time.perf_counter() - t:.0f}s")
 
-    # index: 16M unique kmers, half sampled from the reads
+    # index: sampled from the reads + random keys (fresh generator: index
+    # contents must not depend on whether the reads file already existed)
+    rng = np.random.default_rng(1)
     t = time.perf_counter()
     with open(reads_path, "rb") as f:
         head = f.read(4 << 20)
