@@ -5,13 +5,13 @@ streaming — the shape TPUs are built for:
 
 1. Queries are sorted by bucket id (one multi-operand XLA sort; invalid
    windows get bucket 0xFFFFFFFF and fall off the end).
-2. ``jnp.searchsorted`` finds each CHAIN_BLOCK-aligned table block's query
+2. a vectorized bisection finds each CHAIN_BLOCK-aligned table block's query
    range.
 3. A Pallas kernel walks the table tile-by-tile (auto-pipelined VMEM tiles),
    DMAs the cap-query tiles overlapping each block's sorted query range from
    HBM, and resolves the per-query "gather" with a **one-hot matmul on the
-   MXU**: ``table_halvesᵀ ⨯ one_hot(bucket)`` fetches each query's 8 candidate
-   keys; the hit mask is pure VPU compares; a second matmul turns hits into
+   MXU**: ``table_bytesᵀ ⨯ one_hot(bucket)`` fetches each query's 8 candidate
+   keys as byte planes; the hit mask is pure VPU compares; a second matmul turns hits into
    per-slot count contributions accumulated directly into the VMEM counts
    tile. Queries sit on the MXU lane dimension throughout, so no transposes or
    reshapes are needed (Mosaic supports neither on the minor dims).
