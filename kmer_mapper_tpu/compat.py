@@ -9,15 +9,55 @@ run on the accelerator when one is present (numpy oracle otherwise).
 """
 from __future__ import annotations
 
+import logging
+import os
+import weakref
+
 import numpy as np
 
 from . import oracle
 from .index.kmer_index import TpuKmerIndex, load_index
 from .models.mapper import KmerMapper, MapperConfig
 
+logger = logging.getLogger(__name__)
+
+# KAGE calls these wrappers repeatedly with the same index object/path
+# (``mapper.pyx:19,81`` is its per-batch call surface); rebuilding the device
+# table per call costs tens of seconds for a real index, so resolved indexes
+# and their device-resident mappers are cached. Object keys are id()-based
+# with weakref.finalize eviction (the arrays dataclass is not hashable).
+_path_cache: dict[str, TpuKmerIndex] = {}
+_obj_cache: dict[int, TpuKmerIndex] = {}
+_mapper_cache: dict[int, KmerMapper] = {}
+
 
 def _as_tpu_index(index) -> TpuKmerIndex:
-    return load_index(index)
+    if isinstance(index, TpuKmerIndex):
+        return index
+    if isinstance(index, (str, os.PathLike)):
+        key = str(index)
+        hit = _path_cache.get(key)
+        if hit is None:
+            hit = _path_cache[key] = load_index(index)
+        return hit
+    hit = _obj_cache.get(id(index))
+    if hit is None:
+        hit = load_index(index)
+        _obj_cache[id(index)] = hit
+        try:
+            weakref.finalize(index, _obj_cache.pop, id(index), None)
+        except TypeError:
+            pass  # not weakref-able: entry persists for the process lifetime
+    return hit
+
+
+def _shared_mapper(tpu: TpuKmerIndex, k: int = 31) -> KmerMapper:
+    mapper = _mapper_cache.get(id(tpu))
+    if mapper is None or mapper.config.k != k:
+        mapper = KmerMapper(tpu, MapperConfig(k=k, buf=256, max_reads=16))
+        _mapper_cache[id(tpu)] = mapper
+        weakref.finalize(tpu, _mapper_cache.pop, id(tpu), None)
+    return mapper
 
 
 def map_kmers_to_graph_index(
@@ -30,13 +70,22 @@ def map_kmers_to_graph_index(
 
     Signature parity with ``kmer_mapper.mapper.map_kmers_to_graph_index``
     (``mapper.pyx:19-72``); unlike the reference CLI, the frequency cutoff
-    argument is honored."""
+    argument is honored. Repeated calls with the same index reuse the cached
+    device table (no rebuild)."""
     assert kmers is not None, "kmers required"
     tpu = _as_tpu_index(index)
-    mapper = KmerMapper(tpu, MapperConfig(k=31, buf=256, max_reads=16))
+    mapper = _shared_mapper(tpu)
+    mapper.reset_counts()
     mapper.map_hashes(np.asarray(kmers, dtype=np.uint64))
     counts = mapper.node_counts(max_frequency=max_index_lookup_frequency)
     if max_node_id is not None and max_node_id + 1 != len(counts):
+        if max_node_id + 1 < len(counts):
+            logger.warning(
+                "max_node_id=%d drops counts for %d higher nodes present in the "
+                "index (the reference would write out of bounds here)",
+                max_node_id,
+                len(counts) - (max_node_id + 1),
+            )
         out = np.zeros(max_node_id + 1, dtype=np.uint32)
         n = min(len(counts), max_node_id + 1)
         out[:n] = counts[:n]
@@ -50,8 +99,7 @@ def in_graph_index(
     """uint8[n] membership per kmer (``mapper.pyx:81-130``; the reference also
     ignores the frequency argument for membership)."""
     tpu = _as_tpu_index(index)
-    mapper = KmerMapper(tpu, MapperConfig(k=31, buf=256, max_reads=16))
-    return mapper.in_index(np.asarray(kmers, dtype=np.uint64))
+    return _shared_mapper(tpu).in_index(np.asarray(kmers, dtype=np.uint64))
 
 
 class TpuCounter:

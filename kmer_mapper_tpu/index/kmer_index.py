@@ -242,6 +242,13 @@ def load_index(source) -> TpuKmerIndex:
                 return TpuKmerIndex.from_counter_keys(data["counter_keys"])
     except Exception:
         pass
+    # the reference's final fallback is a pickled CounterKmerIndex
+    # (``util.py:63-66``); pickle files are not zipfiles, so sniff first
+    from .pickled import is_pickle_file, load_pickled_counter_index
+
+    if is_pickle_file(path):
+        logger.info("Kmer index is a pickled counter index")
+        return load_pickled_counter_index(path)
     # a bundle is a zip that is not itself a loadable .npz index
     try:
         arrays = load_reference_npz(path)

@@ -174,6 +174,20 @@ class KmerMapper:
         self._pending: list = []  # host-buffered chunks awaiting a super-batch
         self._total_kmers = 0
         self.n_invalid_bases = 0
+        self._device = device
+        self._hash_steps: dict = {}  # padded-length -> jitted map_hashes step
+
+    def reset_counts(self) -> None:
+        """Zero the accumulated state so one device-resident table can serve
+        repeated library calls without a rebuild (KAGE calls
+        ``map_kmers_to_graph_index`` per batch, ``mapper.pyx:19``)."""
+        self.flush()
+        self.counts = jax.device_put(
+            jnp.zeros(self.index.table.n_slots, dtype=jnp.uint32), device=self._device
+        )
+        self._stats = []
+        self._total_kmers = 0
+        self.n_invalid_bases = 0
 
     def map_chunk(
         self, packed: np.ndarray, lengths: np.ndarray, n_bases: int, n_invalid: int = 0
@@ -228,13 +242,47 @@ class KmerMapper:
             self._stats = []
         return self._total_kmers
 
+    # below this, the sort+stream path's fixed costs beat the gather probe
+    STREAM_HASH_MIN = 1 << 17
+
     def map_hashes(self, kmers: np.ndarray) -> None:
         """Count pre-computed uint64 kmer hashes (library API parity with
-        ``map_kmers_to_graph_index`` / ``counter.count``)."""
+        ``map_kmers_to_graph_index`` / ``counter.count``).
+
+        Large batches on TPU ride the sort+stream kernel (the gather probe
+        tops out ~15 Mkmers/s vs >100 for the stream path); lengths are padded
+        to powers of two so repeated calls reuse a few compiled steps."""
         from ..ops.u32hash import split_u64
 
-        lo, hi = split_u64(np.asarray(kmers, dtype=np.uint64))
+        kmers = np.asarray(kmers, dtype=np.uint64)
+        n = len(kmers)
+        lo, hi = split_u64(kmers)
         table = self.index.table
+        if n >= self.STREAM_HASH_MIN and jax.default_backend() == "tpu":
+            npad = 1 << max(0, (n - 1)).bit_length()
+            valid = np.zeros(npad, dtype=bool)
+            valid[:n] = True
+            step = self._hash_steps.get(npad)
+            if step is None:
+                block_probe = self.index.table.block_max_probe()
+
+                def run(key_lo, key_hi, counts, q_lo, q_hi, q_valid):
+                    return stream_probe.stream_probe_count(
+                        key_lo, key_hi, counts, q_lo, q_hi, q_valid,
+                        table.seed, table.max_probe, block_probe=block_probe,
+                    )
+
+                step = self._hash_steps[npad] = jax.jit(run, donate_argnums=(2,))
+            self.counts = step(
+                self.key_lo,
+                self.key_hi,
+                self.counts,
+                jnp.asarray(np.pad(lo, (0, npad - n))),
+                jnp.asarray(np.pad(hi, (0, npad - n))),
+                jnp.asarray(valid),
+            )
+            self._stats.append(jnp.uint32(n))
+            return
         bucket, mask = probe.probe_hits(
             self.key_lo,
             self.key_hi,

@@ -7,12 +7,17 @@ streaming — the shape TPUs are built for:
    windows get bucket 0xFFFFFFFF and fall off the end).
 2. a vectorized bisection finds each CHAIN_BLOCK-aligned table block's query
    range.
-3. A Pallas kernel walks the table tile-by-tile (auto-pipelined VMEM tiles),
-   DMAs the cap-query tiles overlapping each block's sorted query range from
-   HBM, and resolves the per-query "gather" with a **one-hot matmul on the
-   MXU**: ``table_bytesᵀ ⨯ one_hot(bucket)`` fetches each query's 8 candidate
-   keys as byte planes; the hit mask is pure VPU compares; a second matmul turns hits into
-   per-slot count contributions accumulated directly into the VMEM counts
+3. A Pallas kernel walks the table in ``coarse``-block grid steps
+   (auto-pipelined VMEM tiles; coarsening amortizes Mosaic's per-grid-step
+   cost), and per chain block DMAs that block's **exact query window**
+   ``[start & ~127, end)`` in cap-sized pieces as **one fused (3, cap) copy**
+   (bucket/lo/hi rows share the offset — one DMA + one semaphore instead of
+   three; exact windows instead of globally cap-aligned tiles halve the
+   iteration count, since an average block's queries would straddle two global
+   tiles). The per-query "gather" is a **one-hot matmul on the MXU**:
+   ``table_bytesᵀ ⨯ one_hot(bucket)`` fetches each query's 8 candidate keys as
+   byte planes; the hit mask is pure VPU compares; a second matmul turns hits
+   into per-slot count contributions accumulated directly into the VMEM counts
    tile. Queries sit on the MXU lane dimension throughout, so no transposes or
    reshapes are needed (Mosaic supports neither on the minor dims).
 
@@ -49,6 +54,7 @@ from .u32hash import bucket_of
 
 INVALID_BUCKET = jnp.uint32(0xFFFFFFFF)
 DEFAULT_CAP = 1024  # queries per kernel tile (MXU lane-dim extent)
+DEFAULT_COARSE = 8  # chain blocks per grid step (amortizes grid-step overhead)
 
 
 def sort_queries(q_lo, q_hi, valid, n_buckets: int, seed: int):
@@ -118,110 +124,122 @@ def _table_bytes(key_lo, key_hi):
     return jnp.concatenate(_bytes8(key_lo, key_hi), axis=1)
 
 
+ALIGN = 128  # DMA windows start on a lane-aligned query offset (<= cap)
+
+
 def _kernel(
-    off_ref,  # scalar-prefetch int32[n_blocks + 1]
-    key_lo_ref,  # VMEM (BPB, K)
+    off_ref,  # scalar-prefetch int32[1 + n_blocks + 1 + n_blocks]
+    key_lo_ref,  # VMEM (coarse * BPB, K)
     key_hi_ref,
-    counts_in_ref,  # VMEM (BPB, K) uint32, aliased with output
-    qb_hbm,  # ANY (n_tiles, cap) uint32 sorted buckets
-    qlo_hbm,
-    qhi_hbm,
-    counts_out_ref,  # VMEM (BPB, K)
-    qb_s,  # scratch VMEM (2, 1, cap) double-buffered
-    qlo_s,
-    qhi_s,
-    sems,  # DMA semaphores (2, 3)
+    counts_in_ref,  # VMEM (coarse * BPB, K) uint32, aliased with output
+    q_hbm,  # ANY (4, n_padded) uint32: rows = sorted bucket / lo / hi / dead
+    counts_out_ref,  # VMEM (coarse * BPB, K)
+    q_s,  # scratch VMEM (2, 4, cap) double-buffered fused query tiles
+    sems,  # DMA semaphores (2,)
     *,
     cap: int,
     bpb: int,
     max_probe: int,
     n_blocks: int,
+    coarse: int,
 ):
-    i = pl.program_id(0)
-    start = off_ref[i + 1]
-    end = off_ref[i + 2]
-    probe_limit = off_ref[n_blocks + 2 + i]  # per-block chain bound
+    ci = pl.program_id(0)
     counts_out_ref[...] = counts_in_ref[...]
-    tb = _table_bytes(key_lo_ref[...], key_hi_ref[...]).astype(jnp.bfloat16)  # (BPB, 8K)
-    base_bucket = off_ref[0] + jnp.int32(i * bpb)  # off_ref[0] = shard base
     rows = lax.broadcasted_iota(jnp.int32, (bpb, cap), 0)
     lane_pos = lax.broadcasted_iota(jnp.int32, (1, cap), 1)
     K = BUCKET_KEYS
-    t0 = start // cap
-    t1 = (end + cap - 1) // cap
-    n_iter = lax.max(jnp.int32(0), t1 - t0)
 
-    def dma(j, slot):
-        t = t0 + j
-        return [
-            pltpu.make_async_copy(hbm.at[t], dst.at[slot], sems.at[slot, n])
-            for n, (hbm, dst) in enumerate(
-                [(qb_hbm, qb_s), (qlo_hbm, qlo_s), (qhi_hbm, qhi_s)]
-            )
-        ]
-
-    @pl.when(n_iter > 0)
-    def _():
-        for c in dma(0, 0):
-            c.start()
-
-    def body(j, _):
-        slot = j % 2
-
-        @pl.when(j + 1 < n_iter)
-        def _():
-            for c in dma(j + 1, (j + 1) % 2):
-                c.start()
-
-        for c in dma(j, slot):
-            c.wait()
-        t = t0 + j
-        pos = t * cap + lane_pos  # (1, cap)
-        live = (pos >= start) & (pos < end)
-        local_b = qb_s[slot].astype(jnp.int32) - base_bucket  # (1, cap)
-        live = live & (local_b >= 0) & (local_b < bpb)
-        # one-hot with queries on the lane dim: (bpb, cap); bf16 operands are
-        # exact for 0/1 and byte values, and the MXU runs bf16 single-pass
-        one_hot = ((rows == local_b) & live).astype(jnp.bfloat16)
-        qh = _bytes8(qlo_s[slot], qhi_s[slot])  # 8 x (1, cap)
-
-        def probe_round(p, contrib):
-            tbp = tb if p == 0 else jnp.roll(tb, -p, axis=0)
-            # per-query candidate key bytes: (8K, cap) = tbpᵀ ⨯ one_hot
-            g = lax.dot_general(
-                tbp,
-                one_hot,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            hits = live
-            for plane in range(8):
-                hits = hits & (g[plane * K : (plane + 1) * K, :] == qh[plane])
-            hits_in = hits.astype(jnp.bfloat16)
-            # (K, cap)
-            c = lax.dot_general(
-                one_hot,
-                hits_in,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (bpb, K)
-            return contrib + (c if p == 0 else jnp.roll(c, p, axis=0))
-
-        contrib = probe_round(0, jnp.zeros((bpb, K), dtype=jnp.float32))
-        for p in range(1, max_probe):
-            # chains are rare: skip the extra rounds for chain-free blocks
-            contrib = lax.cond(
-                p < probe_limit,
-                functools.partial(probe_round, p),
-                lambda c: c,
-                contrib,
-            )
-        counts_out_ref[...] = counts_out_ref[...] + contrib.astype(jnp.int32).astype(
-            jnp.uint32
+    def block_body(g, _carry):
+        # one chain block of the coarse grid step; a fori_loop (not a Python
+        # unroll) keeps the Mosaic module size independent of ``coarse``
+        i = ci * coarse + g
+        start = off_ref[i + 1]
+        end = off_ref[i + 2]
+        probe_limit = off_ref[n_blocks + 2 + i]  # per-block chain bound
+        base_bucket = off_ref[0] + i * bpb  # off_ref[0] = shard base
+        row0 = pl.multiple_of(g * bpb, bpb)
+        tb = _table_bytes(
+            key_lo_ref[pl.ds(row0, bpb), :],
+            key_hi_ref[pl.ds(row0, bpb), :],
+        ).astype(jnp.bfloat16)  # (BPB, 8K)
+        # exact query window: this block's own [start & ~(ALIGN-1), end) range
+        # rather than globally cap-aligned tiles — an average block holds about
+        # one cap of queries, and global tiles would straddle two of them,
+        # nearly doubling the iteration count with masked waste.
+        base = start & ~jnp.int32(min(ALIGN, cap) - 1)
+        n_iter = lax.select(
+            end > start, (end - base + jnp.int32(cap - 1)) // cap, jnp.int32(0)
         )
+
+        def dma(j, slot):
+            # one fused (4, cap) copy per tile: bucket/lo/hi rows share the
+            # offset, so three copies + three semaphore waits become one
+            o = pl.multiple_of(base + j * cap, min(ALIGN, cap))
+            return pltpu.make_async_copy(
+                q_hbm.at[:, pl.ds(o, cap)], q_s.at[slot], sems.at[slot]
+            )
+
+        @pl.when(n_iter > 0)
+        def _():
+            dma(0, 0).start()
+
+        def body(j, _):
+            slot = j % 2
+
+            @pl.when(j + 1 < n_iter)
+            def _():
+                dma(j + 1, (j + 1) % 2).start()
+
+            dma(j, slot).wait()
+            pos = base + j * cap + lane_pos  # (1, cap)
+            live = (pos >= start) & (pos < end)
+            local_b = q_s[slot, 0:1, :].astype(jnp.int32) - base_bucket  # (1, cap)
+            live = live & (local_b >= 0) & (local_b < bpb)
+            # one-hot with queries on the lane dim: (bpb, cap); bf16 operands
+            # are exact for 0/1 and byte values, and the MXU runs bf16
+            # single-pass
+            one_hot = ((rows == local_b) & live).astype(jnp.bfloat16)
+            qh = _bytes8(q_s[slot, 1:2, :], q_s[slot, 2:3, :])  # 8 x (1, cap)
+
+            def probe_round(p, contrib):
+                tbp = tb if p == 0 else jnp.roll(tb, -p, axis=0)
+                # per-query candidate key bytes: (8K, cap) = tbpᵀ ⨯ one_hot
+                gathered = lax.dot_general(
+                    tbp,
+                    one_hot,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                hits = live
+                for plane in range(8):
+                    hits = hits & (gathered[plane * K : (plane + 1) * K, :] == qh[plane])
+                hits_in = hits.astype(jnp.bfloat16)
+                c = lax.dot_general(
+                    one_hot,
+                    hits_in,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (bpb, K)
+                return contrib + (c if p == 0 else jnp.roll(c, p, axis=0))
+
+            contrib = probe_round(0, jnp.zeros((bpb, K), dtype=jnp.float32))
+            for p in range(1, max_probe):
+                # chains are rare: skip the extra rounds for chain-free blocks
+                contrib = lax.cond(
+                    p < probe_limit,
+                    functools.partial(probe_round, p),
+                    lambda c: c,
+                    contrib,
+                )
+            counts_out_ref[pl.ds(row0, bpb), :] = counts_out_ref[
+                pl.ds(row0, bpb), :
+            ] + contrib.astype(jnp.int32).astype(jnp.uint32)
+            return 0
+
+        lax.fori_loop(0, n_iter, body, 0)
         return 0
 
-    lax.fori_loop(0, n_iter, body, 0)
+    lax.fori_loop(0, coarse, block_body, 0)
 
 
 def stream_count(
@@ -238,6 +256,7 @@ def stream_count(
     bucket_base=0,  # shard-local tables: global bucket id of local bucket 0
     chain_block: int | None = None,  # build-time chain block (global tables: auto)
     block_probe=None,  # int32[n_blocks] per-block chain bound (None: max_probe)
+    coarse: int = DEFAULT_COARSE,  # chain blocks folded into one grid step
 ) -> jnp.ndarray:
     """counts += histogram of table hits among the sorted queries.
 
@@ -249,32 +268,33 @@ def stream_count(
     bpb = min(CHAIN_BLOCK, n_local) if chain_block is None else chain_block
     assert n_local % bpb == 0, "table shard must be a multiple of the chain block"
     n_blocks = n_local // bpb
+    coarse = max(1, min(coarse, n_blocks))
+    while n_blocks % coarse:
+        coarse //= 2
     n = sorted_b.shape[0]
-    pad = (-n) % cap
-    if pad:
-        sorted_b = jnp.concatenate([sorted_b, jnp.full(pad, INVALID_BUCKET)])
-        sorted_lo = jnp.concatenate([sorted_lo, jnp.zeros(pad, jnp.uint32)])
-        sorted_hi = jnp.concatenate([sorted_hi, jnp.zeros(pad, jnp.uint32)])
-    n_tiles = (n + pad) // cap
+    # tail padding: the last window may extend past n by up to cap
+    pad = (-n) % cap + cap
+    sorted_b = jnp.concatenate([sorted_b, jnp.full(pad, INVALID_BUCKET)])
+    sorted_lo = jnp.concatenate([sorted_lo, jnp.zeros(pad, jnp.uint32)])
+    sorted_hi = jnp.concatenate([sorted_hi, jnp.zeros(pad, jnp.uint32)])
+    # 4 rows (bucket/lo/hi + one dead row): HBM u32 arrays are sublane-tiled
+    # by 4, and DMA slices along that dim must be tile-aligned
+    q = jnp.stack([sorted_b, sorted_lo, sorted_hi, sorted_hi])  # (4, n_padded)
     counts2d = counts.reshape(n_local, BUCKET_KEYS)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_blocks,),
+        grid=(n_blocks // coarse,),
         in_specs=[
-            pl.BlockSpec((bpb, BUCKET_KEYS), lambda i, off: (i, 0)),
-            pl.BlockSpec((bpb, BUCKET_KEYS), lambda i, off: (i, 0)),
-            pl.BlockSpec((bpb, BUCKET_KEYS), lambda i, off: (i, 0)),
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec((coarse * bpb, BUCKET_KEYS), lambda i, off: (i, 0)),
+            pl.BlockSpec((coarse * bpb, BUCKET_KEYS), lambda i, off: (i, 0)),
+            pl.BlockSpec((coarse * bpb, BUCKET_KEYS), lambda i, off: (i, 0)),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
-        out_specs=pl.BlockSpec((bpb, BUCKET_KEYS), lambda i, off: (i, 0)),
+        out_specs=pl.BlockSpec((coarse * bpb, BUCKET_KEYS), lambda i, off: (i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, 1, cap), jnp.uint32),
-            pltpu.VMEM((2, 1, cap), jnp.uint32),
-            pltpu.VMEM((2, 1, cap), jnp.uint32),
-            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.VMEM((2, 4, cap), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     if block_probe is None:
@@ -287,7 +307,8 @@ def stream_count(
         ]
     )
     kernel = functools.partial(
-        _kernel, cap=cap, bpb=bpb, max_probe=max_probe, n_blocks=n_blocks
+        _kernel, cap=cap, bpb=bpb, max_probe=max_probe, n_blocks=n_blocks,
+        coarse=coarse,
     )
     out = pl.pallas_call(
         kernel,
@@ -295,15 +316,7 @@ def stream_count(
         out_shape=jax.ShapeDtypeStruct((n_local, BUCKET_KEYS), jnp.uint32),
         input_output_aliases={3: 0},  # counts2d (arg 3 incl. scalar prefetch)
         interpret=interpret,
-    )(
-        scalars,
-        key_lo,
-        key_hi,
-        counts2d,
-        sorted_b.reshape(n_tiles, 1, cap),
-        sorted_lo.reshape(n_tiles, 1, cap),
-        sorted_hi.reshape(n_tiles, 1, cap),
-    )
+    )(scalars, key_lo, key_hi, counts2d, q)
     return out.reshape(-1)
 
 
@@ -319,6 +332,7 @@ def stream_probe_count(
     cap: int = DEFAULT_CAP,
     interpret: bool = False,
     block_probe=None,
+    coarse: int = DEFAULT_COARSE,
 ):
     """Full stream path: sort -> block offsets -> stream kernel."""
     n_buckets = key_lo.shape[0]
@@ -337,4 +351,5 @@ def stream_probe_count(
         cap=cap,
         interpret=interpret,
         block_probe=block_probe,
+        coarse=coarse,
     )
