@@ -108,6 +108,18 @@ def run_argument_parser(args):
         help="Gather-probe count accumulation strategy",
     )
     sub.add_argument(
+        "--profile-dir",
+        default=None,
+        help="Write a jax.profiler device trace of the mapping loop here "
+        "(view in TensorBoard/Perfetto)",
+    )
+    sub.add_argument(
+        "--strict-bases",
+        action="store_true",
+        help="Raise on non-ACGTN input bases (bionumpy DNAEncoding behavior) "
+        "instead of encoding them as A with a warning",
+    )
+    sub.add_argument(
         "--n-devices",
         default=None,
         type=int,
@@ -181,11 +193,15 @@ def _cmd_map(args):
             map_reverse_complements=_parse_bool(args.map_reverse_complements),
             accumulate=args.accumulate,
             queue_depth=max(2, min(args.n_threads, 16)),
+            strict_bases=args.strict_bases,
+            profile_dir=args.profile_dir,
         )
     if args.output_file is None:
         return node_counts
     np.save(args.output_file, node_counts)
-    logger.info("Saved node counts to %s.npy", args.output_file)
+    # np.save only appends .npy when the path does not already end with it
+    saved = args.output_file if str(args.output_file).endswith(".npy") else f"{args.output_file}.npy"
+    logger.info("Saved node counts to %s", saved)
     return None
 
 

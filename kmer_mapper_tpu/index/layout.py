@@ -105,6 +105,14 @@ def build_table(
 ) -> TableArrays:
     """Build the table from distinct uint64 kmers. Vectorized; O(n log n)."""
     unique_kmers = np.asarray(unique_kmers, dtype=np.uint64)
+    if len(unique_kmers) and unique_kmers.max() == np.uint64(0xFFFFFFFFFFFFFFFF):
+        # unreachable for kmers (k <= 31 -> < 2^62) but possible for raw
+        # counter keys; the all-ones key is the EMPTY slot sentinel and would
+        # be silently unqueryable
+        raise ValueError(
+            "key 0xFFFFFFFFFFFFFFFF collides with the empty-slot sentinel "
+            "(keys must be < 2^64 - 1; kmer hashes are < 2^62)"
+        )
     n = len(unique_kmers)
     if n_buckets is None:
         n_buckets = max(4, _next_pow2(int(np.ceil(n / (BUCKET_KEYS * max_load))) or 1))

@@ -20,7 +20,30 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 _SRC = Path(__file__).resolve().parent.parent / "native" / "kmer_host.cpp"
-_LIB_PATH = _SRC.with_suffix(".so")
+
+
+def _lib_path() -> Path:
+    # -march=native binaries are CPU-specific: key the cache on the platform
+    # so a repo shared across heterogeneous machines (NFS, container images)
+    # never dlopens a library built for a different microarchitecture
+    import hashlib
+    import platform
+
+    tag = f"{platform.system()}-{platform.machine()}".lower()
+    try:  # distinguish microarchitectures sharing an ISA name
+        info = Path("/proc/cpuinfo").read_text()
+        model = next(
+            (l.split(":", 1)[1].strip() for l in info.splitlines() if "model name" in l),
+            "",
+        )
+        if model:
+            tag += "-" + hashlib.sha1(model.encode()).hexdigest()[:8]
+    except OSError:
+        pass
+    return _SRC.with_name(f"kmer_host-{tag}.so")
+
+
+_LIB_PATH = _lib_path()
 _lock = threading.Lock()
 _lib = None
 _tried = False

@@ -130,8 +130,12 @@ def window_mask(
 ) -> jnp.ndarray:
     """bool[buf]: window t covers [t, t+k) of one read entirely.
 
-    ``read_starts``: int32[max_reads], start offsets into the chunk; padding
-    entries must be >= buf + k (scattered with mode='drop').
+    ``read_starts``: int32[max_reads], start offsets into the chunk. Padding
+    entries may be any value >= ``n_bases``: entries >= buf + k are dropped
+    from the scatter, and entries in [n_bases, buf + k) — e.g. the cumsum of
+    zero-padded read lengths used by ``chunk_step`` — can only invalidate a
+    window t with t < n_bases < t + k, which ``t + k <= n_bases`` already
+    rejects (pinned by ``tests/test_device_ops.py``).
     ``n_bases``: scalar int32, number of valid bases in the chunk."""
     starts_flag = (
         jnp.zeros(buf + k, dtype=jnp.int32).at[read_starts].set(1, mode="drop")

@@ -22,8 +22,17 @@ import numpy as np
 
 
 def initialize(coordinator_address: str | None = None, **kwargs) -> None:
-    """Bring up the JAX distributed runtime (idempotent wrapper)."""
-    jax.distributed.initialize(coordinator_address=coordinator_address, **kwargs)
+    """Bring up the JAX distributed runtime (idempotent wrapper).
+
+    Must run before anything initializes an XLA backend — i.e. before
+    importing ``kmer_mapper_tpu`` itself (module-level jnp constants touch the
+    backend); this module is importable standalone for exactly that reason.
+    """
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address, **kwargs)
+    except RuntimeError as exc:  # already initialized: keep the existing runtime
+        if "already" not in str(exc).lower():
+            raise
 
 
 def host_shard(paths: list[str], process_index: int | None = None,

@@ -81,11 +81,18 @@ def map_file(
     queue_depth: int = 4,
     progress: bool = True,
     device=None,
+    strict_bases: bool = False,
+    profile_dir: str | None = None,
 ) -> np.ndarray:
     """Map all k-mers of a FASTA/FASTQ(.gz) file against the index; returns the
     per-node hit-count vector (uint32[max_node_id+1]).
 
-    CLI/driver parity: ``map_bnp`` (``command_line_interface.py:82-152``)."""
+    CLI/driver parity: ``map_bnp`` (``command_line_interface.py:82-152``).
+    With ``strict_bases`` any non-ACGTN base raises (bionumpy's DNAEncoding
+    behavior, SURVEY §3.4); the default encodes them as A with a warning.
+    ``profile_dir`` captures a ``jax.profiler`` device trace of the mapping
+    loop (one step annotation per chunk) viewable in TensorBoard/Perfetto —
+    the structured upgrade of the reference's DEBUG perf_counter spans."""
     t_start = time.perf_counter()
     index = load_index(index)
     mapper, packed = make_mapper_and_chunks(
@@ -118,20 +125,32 @@ def map_file(
             bar = tqdm.tqdm(total=max(approx_chunks, 1), unit="chunk", smoothing=0.1)
         except ImportError:
             pass
-    for packed_codes, lengths, n_bases, n_reads, n_invalid in chunk_iter:
-        mapper.map_chunk(packed_codes, lengths, n_bases, n_invalid)
-        n_chunks += 1
-        if bar is not None:
-            bar.update(min(1, bar.total - bar.n))
-        elif progress and n_chunks % 200 == 0:
-            logger.info(
-                "chunk %d/~%d (%.1f%%)",
-                n_chunks,
-                approx_chunks,
-                100 * min(1.0, n_chunks / approx_chunks),
-            )
+    from .utils import profiling
+
+    with profiling.trace(profile_dir) if profile_dir else _null_context():
+        for packed_codes, lengths, n_bases, n_reads, n_invalid in chunk_iter:
+            if strict_bases and n_invalid:
+                raise ValueError(
+                    f"{n_invalid} invalid (non-ACGTN) bases in input "
+                    "(--strict-bases; the reference's DNAEncoding would raise too)"
+                )
+            with profiling.step_annotation("map_chunk") if profile_dir else _null_context():
+                mapper.map_chunk(packed_codes, lengths, n_bases, n_invalid)
+            n_chunks += 1
+            if bar is not None:
+                bar.update(min(1, bar.total - bar.n))
+            elif progress and n_chunks % 200 == 0:
+                logger.info(
+                    "chunk %d/~%d (%.1f%%)",
+                    n_chunks,
+                    approx_chunks,
+                    100 * min(1.0, n_chunks / approx_chunks),
+                )
+        if profile_dir:
+            _ = mapper.n_kmers_mapped  # drain async work inside the trace
     if bar is not None:
         bar.close()
+    n_kmers = mapper.n_kmers_mapped  # blocks until the last dispatched step ran
     logger.info(
         "Time spent only on hashing and counting hashes: %.4f",
         time.perf_counter() - t_map,
@@ -143,7 +162,6 @@ def map_file(
     with span("node count finalization", logging.INFO):
         node_counts = mapper.node_counts(max_frequency=max_frequency)
     log_memory_usage_now("after mapping")
-    n_kmers = mapper.n_kmers_mapped
     n_hits = int(mapper.slot_counts().sum())
     logger.info(
         "Mapped %d kmers (%d index hits, %.1f%%) from %d chunks in %.3f sec total",
@@ -270,6 +288,12 @@ def map_sequences(
     ):
         mapper.map_chunk(packed, lengths, n_bases, n_invalid)
     return mapper.node_counts(max_frequency=max_frequency)
+
+
+def _null_context():
+    import contextlib
+
+    return contextlib.nullcontext()
 
 
 def _buf_floor() -> int:

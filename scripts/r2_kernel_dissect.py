@@ -52,6 +52,10 @@ def _kernel_v(off_ref, key_lo_ref, key_hi_ref, counts_in_ref, q_hbm,
     rows = lax.broadcasted_iota(jnp.int32, (bpb, cap), 0)
     lane_pos = lax.broadcasted_iota(jnp.int32, (1, cap), 1)
     K = BUCKET_KEYS
+    tb_all = (
+        _table_bytes(key_lo_ref[...], key_hi_ref[...]).astype(jnp.bfloat16)
+        if variant == "tbhoist" else None
+    )
 
     def block_body(g, _):
         i = ci * coarse + g
@@ -60,13 +64,18 @@ def _kernel_v(off_ref, key_lo_ref, key_hi_ref, counts_in_ref, q_hbm,
         probe_limit = off_ref[n_blocks + 2 + i]
         base_bucket = off_ref[0] + i * bpb
         row0 = pl.multiple_of(g * bpb, bpb)
-        tb = _table_bytes(
-            key_lo_ref[pl.ds(row0, bpb), :], key_hi_ref[pl.ds(row0, bpb), :]
-        ).astype(jnp.bfloat16)
+        if variant == "empty_notb":
+            tb = jnp.zeros((bpb, 8 * K), jnp.bfloat16)
+        elif variant == "tbhoist":
+            tb = tb_all[pl.ds(row0, bpb), :]
+        else:
+            tb = _table_bytes(
+                key_lo_ref[pl.ds(row0, bpb), :], key_hi_ref[pl.ds(row0, bpb), :]
+            ).astype(jnp.bfloat16)
         base = start & ~jnp.int32(min(128, cap) - 1)
         n_iter = lax.select(end > start, (end - base + jnp.int32(cap - 1)) // cap,
                             jnp.int32(0))
-        if variant == "empty":
+        if variant in ("empty", "empty_notb"):
             n_iter = jnp.int32(0)
 
         def dma(j, slot):
@@ -100,10 +109,11 @@ def _kernel_v(off_ref, key_lo_ref, key_hi_ref, counts_in_ref, q_hbm,
             def probe_round(p, contrib):
                 tbp = tb if p == 0 else jnp.roll(tb, -p, axis=0)
                 if variant == "nomm1":
-                    c = lax.dot_general(one_hot, live.astype(jnp.bfloat16),
+                    hits_in = jnp.broadcast_to(live, (K, live.shape[1])).astype(jnp.bfloat16)
+                    c = lax.dot_general(one_hot, hits_in,
                                         dimension_numbers=(((1,), (1,)), ((), ())),
                                         preferred_element_type=jnp.float32)
-                    return contrib + jnp.pad(c, ((0, 0), (0, K - 1)))
+                    return contrib + c
                 gathered = lax.dot_general(tbp, one_hot,
                                            dimension_numbers=(((0,), (0,)), ((), ())),
                                            preferred_element_type=jnp.float32)
@@ -113,7 +123,7 @@ def _kernel_v(off_ref, key_lo_ref, key_hi_ref, counts_in_ref, q_hbm,
                 hits_in = hits.astype(jnp.bfloat16)
                 if variant == "nomm2":
                     s = jnp.sum(hits_in.astype(jnp.float32), axis=1, keepdims=True)
-                    return contrib + jnp.pad(s.T, ((0, bpb - 1), (0, K - 1)))
+                    return contrib + jnp.pad(s.T, ((0, bpb - 1), (0, 0)))
                 c = lax.dot_general(one_hot, hits_in,
                                     dimension_numbers=(((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
@@ -186,7 +196,7 @@ def main():
     off = jax.jit(lambda s: stream_probe.block_offsets(s, table.n_buckets, bpb))(sb)
     counts = jnp.zeros(table.n_slots, jnp.uint32)
 
-    for variant in ("full", "nomm2", "nomm1", "nohot", "nodma", "empty"):
+    for variant in ("empty_notb", "tbhoist"):
         def chain(kl, kh, c, sb, slo, shi, off, bpd, _v=variant):
             for _ in range(REPS):
                 c = stream_count_v(kl, kh, c, sb, slo, shi, off, table.max_probe,

@@ -263,3 +263,19 @@ def test_revcomp_lo_hi_matches_oracle(k):
     rlo, rhi = hashing.revcomp_lo_hi(jnp.asarray(lo), jnp.asarray(hi), k)
     got = join_u64(np.asarray(rlo), np.asarray(rhi))
     np.testing.assert_array_equal(got, oracle.revcomp_hash(kmers, k))
+
+
+def test_window_mask_padding_contract():
+    """Pin the documented padding contract: padding read_starts entries equal
+    to n_bases (what chunk_step's cumsum produces) must not invalidate any
+    window that t + k <= n_bases keeps (``hashing.window_mask`` docstring)."""
+    k, buf = 5, 64
+    n_bases = 40  # one read covering [0, 40)
+    starts_nb = np.full(16, n_bases, dtype=np.int32)
+    starts_nb[0] = 0
+    starts_big = np.full(16, buf + k, dtype=np.int32)  # the 'safe' padding
+    starts_big[0] = 0
+    m1 = np.asarray(hashing.window_mask(jnp.asarray(starts_nb), jnp.int32(n_bases), k, buf))
+    m2 = np.asarray(hashing.window_mask(jnp.asarray(starts_big), jnp.int32(n_bases), k, buf))
+    np.testing.assert_array_equal(m1, m2)
+    assert m1[: n_bases - k + 1].all() and not m1[n_bases - k + 1 :].any()

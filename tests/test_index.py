@@ -185,3 +185,65 @@ def test_sentinel_like_keys_are_valid():
     slots = layout.query_table(table, keys)
     assert (slots >= 0).all()
     assert len(np.unique(slots)) == 3
+
+
+def test_max_uint64_key_rejected():
+    """The all-ones key is the EMPTY slot sentinel: builds must refuse it
+    rather than silently losing the key (legal kmers are < 2^62)."""
+    with pytest.raises(ValueError, match="sentinel"):
+        layout.build_table(np.array([1, 0xFFFFFFFFFFFFFFFF], dtype=np.uint64))
+
+
+def test_adversarial_real_writer_npz(tmp_path):
+    """A file byte-for-byte in the real graph_kmer_index writer's conventions:
+    leading-underscore fields, `_ref_offsets` present, int64 `_nodes`, 0-d
+    `_modulo`, uint32 frequencies (``kmer_mapper/util.py:38-68`` tolerances)."""
+    index = ki.build_toy_index(n_unique=300, k=31, n_nodes=100, seed=9)
+    path = tmp_path / "kmer_index_only_variants_with_revcomp.npz"
+    np.savez(
+        path,
+        _hashes_to_index=index.hashes_to_index.astype(np.int64),
+        _n_kmers=index.n_kmers.astype(np.int64),
+        _kmers=index.kmers,
+        _nodes=index.nodes.astype(np.int64),  # convert_to_int32() target
+        _frequencies=index.frequencies.astype(np.uint32),
+        _modulo=np.array(index.modulo, dtype=np.uint64),  # 0-d scalar
+        _ref_offsets=np.arange(len(index.kmers), dtype=np.uint64),
+    )
+    loaded = ki.load_reference_npz(path)
+    assert loaded.nodes.dtype == np.int32
+    assert loaded.modulo == index.modulo
+    np.testing.assert_array_equal(loaded.kmers, index.kmers)
+    # end-to-end: counts through the TPU layout match the oracle probe
+    tpu = ki.load_index(str(path))
+    queries = np.concatenate([index.kmers[:80], np.array([5, 6], dtype=np.uint64)])
+    slot_counts = np.zeros(tpu.table.n_slots, dtype=np.uint32)
+    slots = layout.query_table(tpu.table, queries)
+    np.add.at(slot_counts, slots[slots >= 0], 1)
+    got = tpu.node_counts(slot_counts)
+    want = oracle.map_kmers_to_index(
+        index, queries, max_node_id=int(index.nodes.max())
+    )
+    np.testing.assert_array_equal(got[: len(want)], want)
+
+
+def test_minimal_index_field_subset(tmp_path):
+    """MinimalKmerIndex form: no frequencies AND no n_kmers (the loader must
+    derive bucket lengths from consecutive start offsets); 'minimal' filename
+    convention per ``util.py:56-58``."""
+    index = ki.build_toy_index(n_unique=120, k=21, n_nodes=40, seed=10)
+    path = tmp_path / "minimal_kmer_index.npz"
+    np.savez(
+        path,
+        _hashes_to_index=index.hashes_to_index,
+        _kmers=index.kmers,
+        _nodes=index.nodes,
+        _modulo=np.uint64(index.modulo),
+    )
+    loaded = ki.load_reference_npz(path)
+    np.testing.assert_array_equal(loaded.frequencies, 1)
+    assert (loaded.n_kmers >= 0).all()
+    # derived bucket lengths must reproduce the original bucket structure
+    np.testing.assert_array_equal(loaded.n_kmers, index.n_kmers)
+    tpu = ki.load_index(str(path))
+    assert tpu.n_unique == len(np.unique(index.kmers))

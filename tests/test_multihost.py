@@ -1,0 +1,133 @@
+"""Multi-host helpers (parallel/multihost.py) + profiler wiring.
+
+The reference has no multi-host story (SURVEY §5.8); these helpers implement
+the per-host-pipeline + merge design. The pure-host pieces are unit-tested;
+the jax.distributed runtime gets a 2-process CPU smoke test (skipped when the
+environment cannot rendezvous).
+"""
+from __future__ import annotations
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+from kmer_mapper_tpu.parallel import multihost
+
+
+def test_host_shard_round_robin_disjoint_and_complete():
+    paths = [f"f{i}" for i in range(10)]
+    shards = [multihost.host_shard(paths, process_index=i, process_count=3) for i in range(3)]
+    combined = sorted(p for s in shards for p in s)
+    assert combined == sorted(paths)
+    for i in range(3):
+        for j in range(i + 1, 3):
+            assert not set(shards[i]) & set(shards[j])
+    assert shards[0] == ["f0", "f3", "f6", "f9"]
+
+
+def test_host_shard_more_hosts_than_files():
+    shards = [multihost.host_shard(["a"], process_index=i, process_count=4) for i in range(4)]
+    assert shards[0] == ["a"] and all(s == [] for s in shards[1:])
+
+
+def test_merge_node_counts_ragged_and_clamped():
+    a = np.array([1, 2, 3], dtype=np.uint32)
+    b = np.array([10, 20], dtype=np.uint32)
+    got = multihost.merge_node_counts([a, b])
+    np.testing.assert_array_equal(got, [11, 22, 3])
+    assert got.dtype == np.uint32
+    # uint32 saturation instead of wraparound
+    big = np.full(2, 0xFFFFFFFF, dtype=np.uint32)
+    got = multihost.merge_node_counts([big, big])
+    np.testing.assert_array_equal(got, [0xFFFFFFFF, 0xFFFFFFFF])
+
+
+def test_merge_node_counts_single():
+    a = np.array([5, 0, 7], dtype=np.uint32)
+    np.testing.assert_array_equal(multihost.merge_node_counts([a]), a)
+
+
+_WORKER = textwrap.dedent(
+    """
+    import importlib.util
+    import sys
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    proc_id, n_procs, port, mh_path = (
+        int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4])
+    # load multihost standalone: importing the full package would initialize
+    # the XLA backend (module-level jnp constants) before distributed init
+    spec = importlib.util.spec_from_file_location("multihost", mh_path)
+    multihost = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(multihost)
+    multihost.initialize(
+        coordinator_address=f"localhost:{port}",
+        num_processes=n_procs,
+        process_id=proc_id,
+    )
+    multihost.initialize(  # idempotency: second call must be a no-op
+        coordinator_address=f"localhost:{port}",
+        num_processes=n_procs,
+        process_id=proc_id,
+    )
+    assert jax.process_count() == n_procs, jax.process_count()
+    shard = multihost.host_shard([f"f{i}" for i in range(5)])
+    print("SHARD", proc_id, ",".join(shard), flush=True)
+    """
+)
+
+
+@pytest.mark.timeout(120)
+def test_two_process_distributed_smoke(tmp_path):
+    """jax.distributed rendezvous on the CPU backend: both processes must see
+    process_count == 2 and compute disjoint host shards."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        # the axon sitecustomize initializes the TPU backend at import time,
+        # which forbids a later jax.distributed.initialize()
+        if not k.startswith(("PALLAS_AXON", "AXON"))
+    }
+    env.update(JAX_PLATFORMS="cpu", PYTHONPATH=os.getcwd())
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), "2", str(port)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            env=env,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=90)
+            outs.append((p.returncode, out, err))
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.skip("jax.distributed rendezvous timed out in this environment")
+    if any(rc != 0 for rc, _, _ in outs):
+        msgs = "\n".join(err[-500:] for _, _, err in outs)
+        if "distributed" in msgs.lower() or "coordinator" in msgs.lower():
+            pytest.skip(f"jax.distributed unavailable here: {msgs[-200:]}")
+        raise AssertionError(msgs)
+    shards = {}
+    for rc, out, _ in outs:
+        for line in out.splitlines():
+            if line.startswith("SHARD"):
+                _, pid, files = (line.split(" ", 2) + [""])[:3]
+                shards[int(pid)] = set(files.split(",")) - {""}
+    assert shards[0] | shards[1] == {f"f{i}" for i in range(5)}
+    assert not (shards[0] & shards[1])

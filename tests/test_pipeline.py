@@ -241,3 +241,28 @@ def test_cli_k_out_of_range(tmp_path):
             ["map", "-i", str(index_path), "-f", reads_path, "-o", str(tmp_path / "o"),
              "-k", "40"]
         )
+
+
+def test_strict_bases_raises(tmp_path):
+    """--strict-bases reproduces bionumpy DNAEncoding's raise-on-invalid
+    (SURVEY §3.4); N stays legal (the reference substitutes N->A upstream)."""
+    rng = np.random.default_rng(11)
+    reads = _make_reads(rng, n=20)
+    reads[3] = reads[3][:5] + "X" + reads[3][6:]  # one invalid byte
+    fixed = [r.replace("X", "A") for r in reads]
+    arrays = _index_from_reads(rng, fixed, 5)
+    reads_path = _write_fasta(tmp_path / "bad.fa", reads)
+    index = ki.TpuKmerIndex.from_arrays(arrays)
+    with pytest.raises(ValueError, match="invalid"):
+        pipeline.map_file(index, reads_path, k=5, strict_bases=True, progress=False)
+    # default mode still maps (X encoded as A)
+    got = pipeline.map_file(index, reads_path, k=5, progress=False)
+    np.testing.assert_array_equal(got, _oracle_counts(arrays, fixed, 5))
+    # N alone must not trip strict mode
+    reads_n = [r[:2] + "N" + r[3:] for r in fixed[:5]]
+    arrays_n = _index_from_reads(rng, [r.replace("N", "A") for r in reads_n], 5)
+    path_n = _write_fasta(tmp_path / "n.fa", reads_n)
+    got_n = pipeline.map_file(
+        ki.TpuKmerIndex.from_arrays(arrays_n), path_n, k=5, strict_bases=True, progress=False
+    )
+    np.testing.assert_array_equal(got_n, _oracle_counts(arrays_n, reads_n, 5))
