@@ -102,7 +102,7 @@ def get_lib():
         for fn in (lib.kmh_pack_fastq, lib.kmh_pack_fasta):
             fn.restype = None
             fn.argtypes = [
-                ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_char), ctypes.c_int64, ctypes.c_int32, ctypes.c_int64,
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint16),
                 ctypes.POINTER(_Out),
@@ -142,13 +142,16 @@ def _pack_stream(stream, fn, max_bases, max_reads, k, block_bytes, out_words):
     # eof), so chunk boundaries are identical to the numpy packer's greedy
     # record accumulation. Until then the byte window keeps growing and is
     # re-framed from scratch (cheap: a couple of passes per emitted buffer).
+    # The window is a bytearray (amortized append, in-place head deletion,
+    # zero-copy pointer into the native call) — bytes concatenation here was
+    # quadratic: ~10x write amplification per emitted buffer.
     target = max(block_bytes, 3 * max_bases)
-    leftover = b""
+    leftover = bytearray()
     eof = False
     resume = 0
 
     def fill():
-        nonlocal leftover, eof
+        nonlocal leftover, eof  # += rebinds even for bytearray
         while not eof and len(leftover) < target:
             block = stream.read(block_bytes)
             if not block:
@@ -161,8 +164,11 @@ def _pack_stream(stream, fn, max_bases, max_reads, k, block_bytes, out_words):
         packed = np.zeros(out_words, dtype=np.uint32)
         lengths = np.zeros(max_reads, dtype=np.uint16)
         out = _Out()
+        # no ctypes.cast here: cast() creates a reference cycle that keeps the
+        # bytearray's buffer exported until a gc pass, blocking the head del
+        buf = (ctypes.c_char * len(leftover)).from_buffer(leftover) if leftover else None
         fn(
-            leftover,
+            buf,
             len(leftover),
             1 if eof else 0,
             k,
@@ -173,6 +179,7 @@ def _pack_stream(stream, fn, max_bases, max_reads, k, block_bytes, out_words):
             lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
             ctypes.byref(out),
         )
+        del buf  # release the exported buffer so the bytearray can resize
         if out.error:
             raise ValueError(_ERRORS.get(out.error, f"native framer error {out.error}"))
         if not out.stopped_capacity and not eof:
@@ -187,7 +194,7 @@ def _pack_stream(stream, fn, max_bases, max_reads, k, block_bytes, out_words):
             continue
         if out.n_reads:
             yield packed, lengths, int(out.n_bases), int(out.n_reads), int(out.n_invalid)
-        leftover = leftover[out.consumed :]
+        del leftover[: out.consumed]
         resume = int(out.next_resume)
         if eof:
             if leftover.strip():

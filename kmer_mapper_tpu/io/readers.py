@@ -16,7 +16,6 @@ content sniff fallback.
 from __future__ import annotations
 
 import dataclasses
-import gzip
 import io
 import logging
 from typing import Iterator
@@ -79,11 +78,17 @@ def detect_format(path: str, peek: bytes | None = None) -> str:
 def open_bytes(path: str, threaded_gz: bool = True) -> io.BufferedIOBase:
     """Binary stream of (decompressed) file bytes.
 
-    Gzip decode is serial zlib (like the reference minus ISA-L); with
-    ``threaded_gz`` it runs in its own thread so decompression overlaps
-    framing/packing and device compute."""
+    Gzip decode picks the best available path (``io/gzio.py``): parallel
+    libdeflate for BGZF members, isal when importable (the reference's fast
+    path), else zlib; with ``threaded_gz`` serial decoders additionally run in
+    their own thread so decompression overlaps framing/packing and device
+    compute."""
     if str(path).endswith(".gz"):
-        stream = gzip.open(path, "rb")
+        from . import gzio
+
+        stream = gzio.open_gzip(path)
+        if isinstance(stream, gzio.BgzfReader):
+            return stream  # already pipelined internally
         return _ThreadedReader(stream) if threaded_gz else stream
     return open(path, "rb")
 
@@ -101,7 +106,7 @@ class _ThreadedReader(io.RawIOBase):
 
         self._source = source
         self._queue: "queue.Queue" = queue.Queue(maxsize=self._DEPTH)
-        self._buf = b""
+        self._buf = bytearray()  # in-place head removal; bytes += is quadratic
         self._done = False
         self._thread = threading.Thread(target=self._pump, daemon=True)
         self._thread.start()
@@ -126,7 +131,8 @@ class _ThreadedReader(io.RawIOBase):
                 self._done = True
                 break
             self._buf += item
-        out, self._buf = self._buf[:n], self._buf[n:]
+        out = bytes(self._buf[:n])
+        del self._buf[:n]
         return out
 
     def close(self):

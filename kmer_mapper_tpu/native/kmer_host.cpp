@@ -23,6 +23,11 @@
 
 #include <vector>
 
+#if defined(__SSSE3__)
+#include <immintrin.h>
+#define KMH_SIMD 1
+#endif
+
 namespace {
 
 struct CodeTable {
@@ -91,6 +96,38 @@ struct Packer {
     ++n_bases;
   }
 
+#ifdef KMH_SIMD
+  // Encode+pack 16 ASCII bases into one uint32 word (requires n_bases % 16
+  // == 0 so the bases fill exactly one zeroed output word). A=0 C=1 G=2 T=3,
+  // N->A, case-insensitive; non-ACGTN bytes encode as A and are counted.
+  void push_block16(const uint8_t* p) {
+    __m128i v = _mm_loadu_si128((const __m128i*)p);
+    __m128i lower = _mm_or_si128(v, _mm_set1_epi8(0x20));
+    __m128i is_c = _mm_cmpeq_epi8(lower, _mm_set1_epi8('c'));
+    __m128i is_g = _mm_cmpeq_epi8(lower, _mm_set1_epi8('g'));
+    __m128i is_t = _mm_cmpeq_epi8(lower, _mm_set1_epi8('t'));
+    __m128i valid = _mm_or_si128(
+        _mm_or_si128(_mm_cmpeq_epi8(lower, _mm_set1_epi8('a')),
+                     _mm_cmpeq_epi8(lower, _mm_set1_epi8('n'))),
+        _mm_or_si128(_mm_or_si128(is_c, is_g), is_t));
+    n_invalid +=
+        __builtin_popcount(~(unsigned)_mm_movemask_epi8(valid) & 0xFFFFu);
+    __m128i code = _mm_or_si128(
+        _mm_and_si128(is_c, _mm_set1_epi8(1)),
+        _mm_or_si128(_mm_and_si128(is_g, _mm_set1_epi8(2)),
+                     _mm_and_si128(is_t, _mm_set1_epi8(3))));
+    // 16 x 2-bit codes -> u32, base i at bits [2i, 2i+1]:
+    // bytes (c0,c1) -> c0 + 4*c1 per u16 lane, u16 pairs -> v0 + 16*v1 per
+    // u32 lane (8 bits each), then 4 lanes -> one word
+    __m128i pair = _mm_maddubs_epi16(code, _mm_set1_epi16(0x0401));
+    __m128i quad = _mm_madd_epi16(pair, _mm_set1_epi32(0x00100001));
+    alignas(16) uint32_t q[4];
+    _mm_store_si128((__m128i*)q, quad);
+    words[n_bases >> 4] |= q[0] | (q[1] << 8) | (q[2] << 16) | (q[3] << 24);
+    n_bases += 16;
+  }
+#endif
+
   // Copy record bases [from, to) (record-relative) into the buffer as one
   // read segment, walking the line spans.
   void copy_segment(const SeqSpans& sp, int64_t from, int64_t to) {
@@ -100,7 +137,12 @@ struct Packer {
       int64_t len = sp.e[i] - sp.s[i];
       int64_t lo = from > pos ? from - pos : 0;
       int64_t hi = to - pos < len ? to - pos : len;
-      for (int64_t j = lo; j < hi; ++j) push(buf[sp.s[i] + j]);
+      int64_t j = lo;
+#ifdef KMH_SIMD
+      for (; (n_bases & 15) != 0 && j < hi; ++j) push(buf[sp.s[i] + j]);
+      for (; j + 16 <= hi; j += 16) push_block16(buf + sp.s[i] + j);
+#endif
+      for (; j < hi; ++j) push(buf[sp.s[i] + j]);
       pos += len;
     }
     ++n_reads;

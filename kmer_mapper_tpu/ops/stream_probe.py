@@ -53,7 +53,10 @@ from ..index.layout import BUCKET_KEYS, CHAIN_BLOCK
 from .u32hash import bucket_of
 
 INVALID_BUCKET = jnp.uint32(0xFFFFFFFF)
-DEFAULT_CAP = 1024  # queries per kernel tile (MXU lane-dim extent)
+DEFAULT_CAP = 1024  # queries per kernel tile. Standalone the kernel measures
+# faster at 2048 (34.3 vs 39.0 ms per 16.8M queries, v5e), but in the composed
+# chunk step — where XLA overlaps the next chunk's sort with the kernel —
+# 1024 wins decisively (305 vs 272 Mkmers/s); trust the in-context number.
 DEFAULT_COARSE = 8  # chain blocks per grid step (amortizes grid-step overhead)
 
 
@@ -128,7 +131,7 @@ ALIGN = 128  # DMA windows start on a lane-aligned query offset (<= cap)
 
 
 def _kernel(
-    off_ref,  # scalar-prefetch int32[1 + n_blocks + 1 + n_blocks]
+    off_ref,  # scalar-prefetch int32: [shard_base, off(n_blocks+1), block_probe(n_blocks), tile_bounds(n_steps+1)]
     key_lo_ref,  # VMEM (coarse * BPB, K)
     key_hi_ref,
     counts_in_ref,  # VMEM (coarse * BPB, K) uint32, aliased with output
@@ -143,103 +146,127 @@ def _kernel(
     n_blocks: int,
     coarse: int,
 ):
+    """One grid step = ``coarse`` chain blocks, iterated as ONE flat fori_loop
+    over their query tiles (a dissection measured ~0.9 us of pure loop-setup /
+    scalar overhead per chain block when each block ran its own inner loop —
+    ~15 ms per 16.8M queries — while the table byte-plane compute and the
+    one-hot materialization were ~free). A scalar while_loop advances the
+    (block, tile) cursor across blocks, skipping empty ones, and the next
+    tile's fused DMA is always prefetchable — even across block boundaries,
+    which the nested form could not do."""
     ci = pl.program_id(0)
     counts_out_ref[...] = counts_in_ref[...]
     rows = lax.broadcasted_iota(jnp.int32, (bpb, cap), 0)
     lane_pos = lax.broadcasted_iota(jnp.int32, (1, cap), 1)
     K = BUCKET_KEYS
+    n_steps = n_blocks // coarse
+    g_hi = (ci + 1) * coarse  # first block beyond this grid step
+    t_lo = off_ref[2 * n_blocks + 2 + ci]
+    t_hi = off_ref[2 * n_blocks + 2 + ci + 1]
+    align = min(ALIGN, cap)
 
-    def block_body(g, _carry):
-        # one chain block of the coarse grid step; a fori_loop (not a Python
-        # unroll) keeps the Mosaic module size independent of ``coarse``
-        i = ci * coarse + g
-        start = off_ref[i + 1]
-        end = off_ref[i + 2]
-        probe_limit = off_ref[n_blocks + 2 + i]  # per-block chain bound
-        base_bucket = off_ref[0] + i * bpb  # off_ref[0] = shard base
-        row0 = pl.multiple_of(g * bpb, bpb)
+    def block_meta(g):
+        start = off_ref[g + 1]
+        end = off_ref[g + 2]
+        # exact query window: the block's own [start & ~(align-1), end) range
+        # rather than globally cap-aligned tiles (those straddle two tiles for
+        # an average block, nearly doubling the iteration count)
+        base = start & ~jnp.int32(align - 1)
+        n_tiles = lax.select(
+            end > start, (end - base + jnp.int32(cap - 1)) // cap, jnp.int32(0)
+        )
+        return start, end, base, n_tiles
+
+    def advance(g, j):
+        # skip to the next block that still has tile j to process
+        def cond(c):
+            g, j = c
+            return (g < g_hi) & (j >= block_meta(g)[3])
+
+        def step(c):
+            g, _ = c
+            return g + 1, jnp.int32(0)
+
+        return lax.while_loop(cond, step, (g, j))
+
+    def dma(g, j, slot):
+        # one fused (4, cap) copy per tile: bucket/lo/hi rows share the
+        # offset, so three copies + three semaphore waits become one
+        base = block_meta(g)[2]
+        o = pl.multiple_of(base + j * cap, align)
+        return pltpu.make_async_copy(
+            q_hbm.at[:, pl.ds(o, cap)], q_s.at[slot], sems.at[slot]
+        )
+
+    g0, j0 = advance(ci * coarse, jnp.int32(0))
+
+    @pl.when(t_hi > t_lo)
+    def _():
+        dma(g0, j0, 0).start()
+
+    def body(t, carry):
+        g, j = carry
+        gn, jn = advance(g, j + 1)
+
+        @pl.when(t + 1 < t_hi - t_lo)
+        def _():
+            dma(gn, jn, (t + 1) % 2).start()
+
+        slot = t % 2
+        dma(g, j, slot).wait()
+        start, end, base, _ = block_meta(g)
+        probe_limit = off_ref[n_blocks + 2 + g]  # per-block chain bound
+        base_bucket = off_ref[0] + g * bpb  # off_ref[0] = shard base
+        row0 = pl.multiple_of((g - ci * coarse) * bpb, bpb)
         tb = _table_bytes(
             key_lo_ref[pl.ds(row0, bpb), :],
             key_hi_ref[pl.ds(row0, bpb), :],
         ).astype(jnp.bfloat16)  # (BPB, 8K)
-        # exact query window: this block's own [start & ~(ALIGN-1), end) range
-        # rather than globally cap-aligned tiles — an average block holds about
-        # one cap of queries, and global tiles would straddle two of them,
-        # nearly doubling the iteration count with masked waste.
-        base = start & ~jnp.int32(min(ALIGN, cap) - 1)
-        n_iter = lax.select(
-            end > start, (end - base + jnp.int32(cap - 1)) // cap, jnp.int32(0)
-        )
+        pos = base + j * cap + lane_pos  # (1, cap)
+        live = (pos >= start) & (pos < end)
+        local_b = q_s[slot, 0:1, :].astype(jnp.int32) - base_bucket  # (1, cap)
+        live = live & (local_b >= 0) & (local_b < bpb)
+        # one-hot with queries on the lane dim: (bpb, cap); bf16 operands are
+        # exact for 0/1 and byte values, and the MXU runs bf16 single-pass
+        one_hot = ((rows == local_b) & live).astype(jnp.bfloat16)
+        qh = _bytes8(q_s[slot, 1:2, :], q_s[slot, 2:3, :])  # 8 x (1, cap)
 
-        def dma(j, slot):
-            # one fused (4, cap) copy per tile: bucket/lo/hi rows share the
-            # offset, so three copies + three semaphore waits become one
-            o = pl.multiple_of(base + j * cap, min(ALIGN, cap))
-            return pltpu.make_async_copy(
-                q_hbm.at[:, pl.ds(o, cap)], q_s.at[slot], sems.at[slot]
+        def probe_round(p, contrib):
+            tbp = tb if p == 0 else jnp.roll(tb, -p, axis=0)
+            # per-query candidate key bytes: (8K, cap) = tbpᵀ ⨯ one_hot
+            gathered = lax.dot_general(
+                tbp,
+                one_hot,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
+            hits = live
+            for plane in range(8):
+                hits = hits & (gathered[plane * K : (plane + 1) * K, :] == qh[plane])
+            hits_in = hits.astype(jnp.bfloat16)
+            c = lax.dot_general(
+                one_hot,
+                hits_in,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (bpb, K)
+            return contrib + (c if p == 0 else jnp.roll(c, p, axis=0))
 
-        @pl.when(n_iter > 0)
-        def _():
-            dma(0, 0).start()
+        contrib = probe_round(0, jnp.zeros((bpb, K), dtype=jnp.float32))
+        for p in range(1, max_probe):
+            # chains are rare: skip the extra rounds for chain-free blocks
+            contrib = lax.cond(
+                p < probe_limit,
+                functools.partial(probe_round, p),
+                lambda c: c,
+                contrib,
+            )
+        counts_out_ref[pl.ds(row0, bpb), :] = counts_out_ref[
+            pl.ds(row0, bpb), :
+        ] + contrib.astype(jnp.int32).astype(jnp.uint32)
+        return gn, jn
 
-        def body(j, _):
-            slot = j % 2
-
-            @pl.when(j + 1 < n_iter)
-            def _():
-                dma(j + 1, (j + 1) % 2).start()
-
-            dma(j, slot).wait()
-            pos = base + j * cap + lane_pos  # (1, cap)
-            live = (pos >= start) & (pos < end)
-            local_b = q_s[slot, 0:1, :].astype(jnp.int32) - base_bucket  # (1, cap)
-            live = live & (local_b >= 0) & (local_b < bpb)
-            # one-hot with queries on the lane dim: (bpb, cap); bf16 operands
-            # are exact for 0/1 and byte values, and the MXU runs bf16
-            # single-pass
-            one_hot = ((rows == local_b) & live).astype(jnp.bfloat16)
-            qh = _bytes8(q_s[slot, 1:2, :], q_s[slot, 2:3, :])  # 8 x (1, cap)
-
-            def probe_round(p, contrib):
-                tbp = tb if p == 0 else jnp.roll(tb, -p, axis=0)
-                # per-query candidate key bytes: (8K, cap) = tbpᵀ ⨯ one_hot
-                gathered = lax.dot_general(
-                    tbp,
-                    one_hot,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                hits = live
-                for plane in range(8):
-                    hits = hits & (gathered[plane * K : (plane + 1) * K, :] == qh[plane])
-                hits_in = hits.astype(jnp.bfloat16)
-                c = lax.dot_general(
-                    one_hot,
-                    hits_in,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (bpb, K)
-                return contrib + (c if p == 0 else jnp.roll(c, p, axis=0))
-
-            contrib = probe_round(0, jnp.zeros((bpb, K), dtype=jnp.float32))
-            for p in range(1, max_probe):
-                # chains are rare: skip the extra rounds for chain-free blocks
-                contrib = lax.cond(
-                    p < probe_limit,
-                    functools.partial(probe_round, p),
-                    lambda c: c,
-                    contrib,
-                )
-            counts_out_ref[pl.ds(row0, bpb), :] = counts_out_ref[
-                pl.ds(row0, bpb), :
-            ] + contrib.astype(jnp.int32).astype(jnp.uint32)
-            return 0
-
-        lax.fori_loop(0, n_iter, body, 0)
-        return 0
-
-    lax.fori_loop(0, coarse, block_body, 0)
+    lax.fori_loop(0, t_hi - t_lo, body, (g0, j0))
 
 
 def stream_count(
@@ -299,11 +326,24 @@ def stream_count(
     )
     if block_probe is None:
         block_probe = jnp.full(n_blocks, max_probe, dtype=jnp.int32)
+    # flat tile schedule: cumulative tile counts at coarse-group boundaries
+    # (the kernel iterates one flat loop over each grid step's tiles)
+    align = min(ALIGN, cap)
+    starts, ends = off[:-1], off[1:]
+    bases = starts & ~jnp.int32(align - 1)
+    n_tiles_b = jnp.where(
+        ends > starts, (ends - bases + jnp.int32(cap - 1)) // cap, jnp.int32(0)
+    )
+    csum = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(n_tiles_b, dtype=jnp.int32)]
+    )
+    tile_bounds = csum[::coarse]  # (n_blocks // coarse + 1,)
     scalars = jnp.concatenate(
         [
             jnp.asarray(bucket_base, dtype=jnp.int32).reshape(1),
             off,
             jnp.asarray(block_probe, dtype=jnp.int32),
+            tile_bounds,
         ]
     )
     kernel = functools.partial(

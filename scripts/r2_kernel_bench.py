@@ -78,13 +78,13 @@ want = int((slots >= 0).sum())
 log(f"correctness: device total {got} vs oracle {want} -> {'OK' if got == want else 'MISMATCH'}")
 
 bp_d = jnp.asarray(bp)
-for coarse in (8, 1, 16):
-    def kern_chain(kl, kh, c, sb, slo, shi, off, bpd, _coarse=coarse):
+for coarse, cap in ((16, 2048), (16, 4096), (8, 2048)):
+    def kern_chain(kl, kh, c, sb, slo, shi, off, bpd, _coarse=coarse, _cap=cap):
         for i in range(REPS):
             c = stream_probe.stream_count(
                 kl, kh, c, sb, slo, shi, off, table.max_probe,
-                block_probe=bpd, coarse=_coarse,
+                block_probe=bpd, coarse=_coarse, cap=_cap,
             )
         return c.sum()
 
-    timeit(f"stream kernel v2 coarse={coarse}", kern_chain, klo, khi, counts, sb0, slo0, shi0, off0, bp_d)
+    timeit(f"stream kernel v2 coarse={coarse} cap={cap}", kern_chain, klo, khi, counts, sb0, slo0, shi0, off0, bp_d)
