@@ -197,6 +197,12 @@ class TpuKmerIndex:
     @classmethod
     def from_file(cls, path_or_file) -> "TpuKmerIndex":
         with np.load(path_or_file, allow_pickle=False) as data:
+            fmt = str(data["format"][0]) if "format" in data else "?"
+            if fmt != "tpuidx-v3":
+                raise ValueError(
+                    f"unsupported .tpuidx format {fmt!r} (this build reads "
+                    "tpuidx-v3; re-run convert-index on the source .npz)"
+                )
             key_lo = data["table_key_lo"]
             table = layout.TableArrays(
                 key_lo=key_lo,

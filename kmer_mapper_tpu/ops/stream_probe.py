@@ -58,6 +58,12 @@ DEFAULT_CAP = 1024  # queries per kernel tile. Standalone the kernel measures
 # chunk step — where XLA overlaps the next chunk's sort with the kernel —
 # 1024 wins decisively (305 vs 272 Mkmers/s); trust the in-context number.
 DEFAULT_COARSE = 8  # chain blocks per grid step (amortizes grid-step overhead)
+N_DMA_SLOTS = 4  # query-tile DMA pipelining depth (issued n-1 tiles ahead)
+DEFAULT_SUB = 1  # adjacent chain blocks served by one tile iteration.
+# sub=2 measured SLOWER composed (247 vs 308 Mkmers/s): every tile of a
+# 2-block group evaluates both blocks' matmuls, and most tiles sit entirely
+# inside one block's range, so total masked matmul work grows faster than the
+# saved per-iteration control (~0.45 us vs ~0.26 us per block-matmul).
 
 
 def sort_queries(q_lo, q_hi, valid, n_buckets: int, seed: int):
@@ -131,142 +137,135 @@ ALIGN = 128  # DMA windows start on a lane-aligned query offset (<= cap)
 
 
 def _kernel(
-    off_ref,  # scalar-prefetch int32: [shard_base, off(n_blocks+1), block_probe(n_blocks), tile_bounds(n_steps+1)]
+    off_ref,  # scalar-prefetch int32: [shard_base, off(n_blocks+1), block_probe(n_blocks), tile_bounds(n_steps+1), t_block(t_pad), t_off(t_pad)]
     key_lo_ref,  # VMEM (coarse * BPB, K)
     key_hi_ref,
     counts_in_ref,  # VMEM (coarse * BPB, K) uint32, aliased with output
     q_hbm,  # ANY (4, n_padded) uint32: rows = sorted bucket / lo / hi / dead
     counts_out_ref,  # VMEM (coarse * BPB, K)
-    q_s,  # scratch VMEM (2, 4, cap) double-buffered fused query tiles
-    sems,  # DMA semaphores (2,)
+    q_s,  # scratch VMEM (n_slots, 4, cap) multi-buffered fused query tiles
+    sems,  # DMA semaphores (n_slots,)
     *,
     cap: int,
     bpb: int,
     max_probe: int,
     n_blocks: int,
     coarse: int,
+    t_pad: int,
+    n_slots: int,
+    sub: int,
 ):
     """One grid step = ``coarse`` chain blocks, iterated as ONE flat fori_loop
-    over their query tiles (a dissection measured ~0.9 us of pure loop-setup /
+    over query tiles (a dissection measured ~0.9 us of pure loop-setup /
     scalar overhead per chain block when each block ran its own inner loop —
     ~15 ms per 16.8M queries — while the table byte-plane compute and the
-    one-hot materialization were ~free). A scalar while_loop advances the
-    (block, tile) cursor across blocks, skipping empty ones, and the next
-    tile's fused DMA is always prefetchable — even across block boundaries,
-    which the nested form could not do."""
+    one-hot materialization were ~free). A tile serves a GROUP of ``sub``
+    adjacent chain blocks — their query windows are contiguous in the sorted
+    array, so one DMA and one iteration's control work cover ``sub`` blocks,
+    while the gather matmul stays split per block (contraction dim bpb; a
+    single 2*bpb contraction measured slower). The flat tile -> (group, DMA
+    offset) schedule is precomputed on the XLA side into scalar-prefetch
+    arrays, so an iteration does a handful of SMEM reads and the fused DMA can
+    be issued ``n_slots - 1`` tiles ahead — across group boundaries."""
     ci = pl.program_id(0)
     counts_out_ref[...] = counts_in_ref[...]
     rows = lax.broadcasted_iota(jnp.int32, (bpb, cap), 0)
     lane_pos = lax.broadcasted_iota(jnp.int32, (1, cap), 1)
     K = BUCKET_KEYS
     n_steps = n_blocks // coarse
-    g_hi = (ci + 1) * coarse  # first block beyond this grid step
     t_lo = off_ref[2 * n_blocks + 2 + ci]
     t_hi = off_ref[2 * n_blocks + 2 + ci + 1]
+    meta0 = 2 * n_blocks + 2 + n_steps + 1
     align = min(ALIGN, cap)
 
-    def block_meta(g):
-        start = off_ref[g + 1]
-        end = off_ref[g + 2]
-        # exact query window: the block's own [start & ~(align-1), end) range
-        # rather than globally cap-aligned tiles (those straddle two tiles for
-        # an average block, nearly doubling the iteration count)
-        base = start & ~jnp.int32(align - 1)
-        n_tiles = lax.select(
-            end > start, (end - base + jnp.int32(cap - 1)) // cap, jnp.int32(0)
-        )
-        return start, end, base, n_tiles
-
-    def advance(g, j):
-        # skip to the next block that still has tile j to process
-        def cond(c):
-            g, j = c
-            return (g < g_hi) & (j >= block_meta(g)[3])
-
-        def step(c):
-            g, _ = c
-            return g + 1, jnp.int32(0)
-
-        return lax.while_loop(cond, step, (g, j))
-
-    def dma(g, j, slot):
+    def dma(t, slot):
         # one fused (4, cap) copy per tile: bucket/lo/hi rows share the
         # offset, so three copies + three semaphore waits become one
-        base = block_meta(g)[2]
-        o = pl.multiple_of(base + j * cap, align)
+        o = pl.multiple_of(off_ref[meta0 + t_pad + t], align)
         return pltpu.make_async_copy(
             q_hbm.at[:, pl.ds(o, cap)], q_s.at[slot], sems.at[slot]
         )
 
-    g0, j0 = advance(ci * coarse, jnp.int32(0))
+    for w in range(n_slots - 1):
+        @pl.when(t_lo + w < t_hi)
+        def _(w=w):
+            dma(t_lo + w, w % n_slots).start()
 
-    @pl.when(t_hi > t_lo)
-    def _():
-        dma(g0, j0, 0).start()
+    def body(ti, _):
+        t = t_lo + ti
 
-    def body(t, carry):
-        g, j = carry
-        gn, jn = advance(g, j + 1)
-
-        @pl.when(t + 1 < t_hi - t_lo)
+        @pl.when(ti + n_slots - 1 < t_hi - t_lo)
         def _():
-            dma(gn, jn, (t + 1) % 2).start()
+            dma(t + n_slots - 1, (ti + n_slots - 1) % n_slots).start()
 
-        slot = t % 2
-        dma(g, j, slot).wait()
-        start, end, base, _ = block_meta(g)
-        probe_limit = off_ref[n_blocks + 2 + g]  # per-block chain bound
-        base_bucket = off_ref[0] + g * bpb  # off_ref[0] = shard base
-        row0 = pl.multiple_of((g - ci * coarse) * bpb, bpb)
-        tb = _table_bytes(
-            key_lo_ref[pl.ds(row0, bpb), :],
-            key_hi_ref[pl.ds(row0, bpb), :],
-        ).astype(jnp.bfloat16)  # (BPB, 8K)
-        pos = base + j * cap + lane_pos  # (1, cap)
-        live = (pos >= start) & (pos < end)
-        local_b = q_s[slot, 0:1, :].astype(jnp.int32) - base_bucket  # (1, cap)
-        live = live & (local_b >= 0) & (local_b < bpb)
-        # one-hot with queries on the lane dim: (bpb, cap); bf16 operands are
-        # exact for 0/1 and byte values, and the MXU runs bf16 single-pass
-        one_hot = ((rows == local_b) & live).astype(jnp.bfloat16)
+        slot = ti % n_slots
+        grp = off_ref[meta0 + t]  # block-group id
+        base_j = off_ref[meta0 + t_pad + t]  # DMA offset = group base + j*cap
+        dma(t, slot).wait()
+        pos = base_j + lane_pos  # (1, cap)
+        qb = q_s[slot, 0:1, :].astype(jnp.int32)
         qh = _bytes8(q_s[slot, 1:2, :], q_s[slot, 2:3, :])  # 8 x (1, cap)
+        contribs = []
+        for b in range(sub):
+            g = grp * sub + b
+            start = off_ref[g + 1]
+            end = off_ref[g + 2]
+            probe_limit = off_ref[n_blocks + 2 + g]  # per-block chain bound
+            base_bucket = off_ref[0] + g * bpb  # off_ref[0] = shard base
+            row0 = pl.multiple_of((g - ci * coarse) * bpb, bpb)
+            tb = _table_bytes(
+                key_lo_ref[pl.ds(row0, bpb), :],
+                key_hi_ref[pl.ds(row0, bpb), :],
+            ).astype(jnp.bfloat16)  # (BPB, 8K)
+            live = (pos >= start) & (pos < end)
+            local_b = qb - base_bucket  # (1, cap)
+            live = live & (local_b >= 0) & (local_b < bpb)
+            # one-hot with queries on the lane dim: (bpb, cap); bf16 operands
+            # are exact for 0/1 and byte values; the MXU runs bf16 single-pass
+            one_hot = ((rows == local_b) & live).astype(jnp.bfloat16)
 
-        def probe_round(p, contrib):
-            tbp = tb if p == 0 else jnp.roll(tb, -p, axis=0)
-            # per-query candidate key bytes: (8K, cap) = tbpᵀ ⨯ one_hot
-            gathered = lax.dot_general(
-                tbp,
-                one_hot,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            hits = live
-            for plane in range(8):
-                hits = hits & (gathered[plane * K : (plane + 1) * K, :] == qh[plane])
-            hits_in = hits.astype(jnp.bfloat16)
-            c = lax.dot_general(
-                one_hot,
-                hits_in,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (bpb, K)
-            return contrib + (c if p == 0 else jnp.roll(c, p, axis=0))
+            def probe_round(p, contrib, tb=tb, one_hot=one_hot, live=live):
+                tbp = tb if p == 0 else jnp.roll(tb, -p, axis=0)
+                # per-query candidate key bytes: (8K, cap) = tbpᵀ ⨯ one_hot
+                gathered = lax.dot_general(
+                    tbp,
+                    one_hot,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                hits = live
+                for plane in range(8):
+                    hits = hits & (
+                        gathered[plane * K : (plane + 1) * K, :] == qh[plane]
+                    )
+                hits_in = hits.astype(jnp.bfloat16)
+                c = lax.dot_general(
+                    one_hot,
+                    hits_in,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (bpb, K)
+                return contrib + (c if p == 0 else jnp.roll(c, p, axis=0))
 
-        contrib = probe_round(0, jnp.zeros((bpb, K), dtype=jnp.float32))
-        for p in range(1, max_probe):
-            # chains are rare: skip the extra rounds for chain-free blocks
-            contrib = lax.cond(
-                p < probe_limit,
-                functools.partial(probe_round, p),
-                lambda c: c,
-                contrib,
-            )
-        counts_out_ref[pl.ds(row0, bpb), :] = counts_out_ref[
-            pl.ds(row0, bpb), :
-        ] + contrib.astype(jnp.int32).astype(jnp.uint32)
-        return gn, jn
+            contrib = probe_round(0, jnp.zeros((bpb, K), dtype=jnp.float32))
+            for p in range(1, max_probe):
+                # chains are rare: skip extra rounds for chain-free blocks
+                contrib = lax.cond(
+                    p < probe_limit,
+                    functools.partial(probe_round, p),
+                    lambda c: c,
+                    contrib,
+                )
+            contribs.append(contrib)
+        # the group's blocks are adjacent rows: one read-modify-write
+        grow0 = pl.multiple_of((grp * sub - ci * coarse) * bpb, sub * bpb)
+        full = contribs[0] if sub == 1 else jnp.concatenate(contribs, axis=0)
+        counts_out_ref[pl.ds(grow0, sub * bpb), :] = counts_out_ref[
+            pl.ds(grow0, sub * bpb), :
+        ] + full.astype(jnp.int32).astype(jnp.uint32)
+        return 0
 
-    lax.fori_loop(0, t_hi - t_lo, body, (g0, j0))
+    lax.fori_loop(0, t_hi - t_lo, body, 0)
 
 
 def stream_count(
@@ -284,6 +283,7 @@ def stream_count(
     chain_block: int | None = None,  # build-time chain block (global tables: auto)
     block_probe=None,  # int32[n_blocks] per-block chain bound (None: max_probe)
     coarse: int = DEFAULT_COARSE,  # chain blocks folded into one grid step
+    sub: int = DEFAULT_SUB,  # adjacent blocks sharing one tile iteration
 ) -> jnp.ndarray:
     """counts += histogram of table hits among the sorted queries.
 
@@ -298,6 +298,9 @@ def stream_count(
     coarse = max(1, min(coarse, n_blocks))
     while n_blocks % coarse:
         coarse //= 2
+    sub = max(1, min(sub, coarse))
+    while coarse % sub:
+        sub //= 2
     n = sorted_b.shape[0]
     # tail padding: the last window may extend past n by up to cap
     pad = (-n) % cap + cap
@@ -320,35 +323,50 @@ def stream_count(
         ],
         out_specs=pl.BlockSpec((coarse * bpb, BUCKET_KEYS), lambda i, off: (i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, 4, cap), jnp.uint32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((N_DMA_SLOTS, 4, cap), jnp.uint32),
+            pltpu.SemaphoreType.DMA((N_DMA_SLOTS,)),
         ],
     )
     if block_probe is None:
         block_probe = jnp.full(n_blocks, max_probe, dtype=jnp.int32)
-    # flat tile schedule: cumulative tile counts at coarse-group boundaries
-    # (the kernel iterates one flat loop over each grid step's tiles)
+    # flat tile schedule (the kernel runs one flat loop over each grid step's
+    # tiles; a tile serves a group of ``sub`` adjacent blocks): per-group tile
+    # counts -> cumulative bounds at coarse boundaries, plus per-tile
+    # (group id, DMA offset) scalar-prefetch arrays
     align = min(ALIGN, cap)
-    starts, ends = off[:-1], off[1:]
-    bases = starts & ~jnp.int32(align - 1)
-    n_tiles_b = jnp.where(
-        ends > starts, (ends - bases + jnp.int32(cap - 1)) // cap, jnp.int32(0)
+    n_groups = n_blocks // sub
+    g_starts = off[0 : n_blocks : sub]
+    g_ends = off[sub : n_blocks + 1 : sub]
+    bases = g_starts & ~jnp.int32(align - 1)
+    n_tiles_g = jnp.where(
+        g_ends > g_starts, (g_ends - bases + jnp.int32(cap - 1)) // cap, jnp.int32(0)
     )
     csum = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(n_tiles_b, dtype=jnp.int32)]
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(n_tiles_g, dtype=jnp.int32)]
     )
-    tile_bounds = csum[::coarse]  # (n_blocks // coarse + 1,)
+    tile_bounds = csum[:: coarse // sub]  # (n_blocks // coarse + 1,)
+    t_pad = (n + pad) // cap + n_groups  # static bound on total tiles
+    # t_group[t] = which group flat tile t serves (boundary scatter + cumsum)
+    t_group = jnp.cumsum(
+        jnp.zeros(t_pad, jnp.int32).at[csum[1:]].add(1, mode="drop")
+    )
+    t_in_group = (
+        jnp.arange(t_pad, dtype=jnp.int32) - csum[jnp.minimum(t_group, n_groups)]
+    )
+    t_off = bases[jnp.minimum(t_group, n_groups - 1)] + t_in_group * jnp.int32(cap)
     scalars = jnp.concatenate(
         [
             jnp.asarray(bucket_base, dtype=jnp.int32).reshape(1),
             off,
             jnp.asarray(block_probe, dtype=jnp.int32),
             tile_bounds,
+            t_group,
+            t_off,
         ]
     )
     kernel = functools.partial(
         _kernel, cap=cap, bpb=bpb, max_probe=max_probe, n_blocks=n_blocks,
-        coarse=coarse,
+        coarse=coarse, t_pad=t_pad, n_slots=N_DMA_SLOTS, sub=sub,
     )
     out = pl.pallas_call(
         kernel,
