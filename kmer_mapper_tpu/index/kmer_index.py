@@ -115,13 +115,16 @@ class TpuKmerIndex:
     ) -> "TpuKmerIndex":
         kmers = np.asarray(kmers, dtype=np.uint64)
         nodes = np.asarray(nodes, dtype=np.int32)
+        # one unique pass: the inverse maps entries to unique keys, and the
+        # table build records each unique key's slot — so entry slots come
+        # from two gathers instead of re-probing every entry (which dominated
+        # build time at 10M+ keys)
+        unique, inverse = np.unique(kmers, return_inverse=True)
         if frequencies is None:
-            _, inverse, counts = np.unique(kmers, return_inverse=True, return_counts=True)
+            counts = np.bincount(inverse, minlength=len(unique))
             frequencies = np.minimum(counts[inverse], 65535).astype(np.uint16)
-        unique = np.unique(kmers)
         table = layout.build_table(unique, max_load=max_load)
-        entry_slot = layout.query_table(table, kmers)
-        assert (entry_slot >= 0).all()
+        entry_slot = table.build_slots[inverse]
         return cls(
             table=table,
             entry_slot=entry_slot.astype(np.int32),
@@ -136,7 +139,7 @@ class TpuKmerIndex:
         """Counter-only index (no node mapping): counts unique kmers."""
         unique = np.unique(np.asarray(unique_kmers, dtype=np.uint64))
         table = layout.build_table(unique)
-        slot = layout.query_table(table, unique)
+        slot = table.build_slots
         return cls(
             table=table,
             entry_slot=slot.astype(np.int32),

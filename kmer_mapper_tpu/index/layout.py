@@ -50,6 +50,10 @@ class TableArrays:
     n_buckets: int
     max_probe: int  # buckets a query must examine (chain bound)
     seed: int = 0
+    # global slot of each key passed to build_table, in input order (build
+    # byproduct: avoids re-probing every entry at index construction; not
+    # serialized — reload paths recompute what they need)
+    build_slots: np.ndarray | None = dataclasses.field(default=None, repr=False)
 
     @property
     def n_slots(self) -> int:
@@ -135,6 +139,7 @@ def _try_build(keys: np.ndarray, n_buckets: int, seed: int):
     key_lo = np.full((n_buckets, BUCKET_KEYS), EMPTY, dtype=np.uint32)
     key_hi = np.full((n_buckets, BUCKET_KEYS), EMPTY, dtype=np.uint32)
     filled = np.zeros(n_buckets, dtype=np.int64)
+    slots = np.empty(n, dtype=np.int64)
 
     pending = np.arange(n, dtype=np.int64)
     probe = 0
@@ -151,13 +156,15 @@ def _try_build(keys: np.ndarray, n_buckets: int, seed: int):
         pb, pr = sb[place], (filled[sb] + rank)[place]
         key_lo[pb, pr] = lo[p[place]]
         key_hi[pb, pr] = hi[p[place]]
+        slots[p[place]] = pb * BUCKET_KEYS + pr
         np.add.at(filled, pb, 1)
         pending = p[~place]
         if len(pending):
             b[pending] = chain_next(b[pending], 1, n_buckets)
             probe += 1
     return TableArrays(
-        key_lo=key_lo, key_hi=key_hi, n_buckets=n_buckets, max_probe=probe + 1, seed=seed
+        key_lo=key_lo, key_hi=key_hi, n_buckets=n_buckets, max_probe=probe + 1,
+        seed=seed, build_slots=slots,
     )
 
 
