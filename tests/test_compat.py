@@ -94,3 +94,42 @@ def test_tpu_counter_revcomps():
     counter.count(fwd, count_revcomps=True)
     got = counter.get_node_counts()
     np.testing.assert_array_equal(got, [0, 1, 1])
+
+
+def test_repeated_calls_reuse_cached_index_and_mapper():
+    """KAGE calls map_kmers_to_graph_index per batch with the same index
+    object (``mapper.pyx:19``); the second call must not rebuild the device
+    table, and results must be independent of call history."""
+    rng = np.random.default_rng(21)
+    keys = np.unique(rng.integers(0, 1 << 62, 400, dtype=np.uint64))
+    nodes = rng.integers(0, 60, len(keys)).astype(np.int32)
+    arrays = oracle.build_kmer_index(keys, nodes, 701)
+    q1 = rng.choice(keys, 150)
+    q2 = np.concatenate([rng.choice(keys, 80), rng.integers(0, 1 << 62, 70, dtype=np.uint64)])
+
+    tpu_before = compat._as_tpu_index(arrays)
+    c1 = compat.map_kmers_to_graph_index(arrays, int(nodes.max()), q1)
+    c2 = compat.map_kmers_to_graph_index(arrays, int(nodes.max()), q2)
+    c1_again = compat.map_kmers_to_graph_index(arrays, int(nodes.max()), q1)
+    assert compat._as_tpu_index(arrays) is tpu_before  # no rebuild
+    np.testing.assert_array_equal(c1, c1_again)  # counts reset between calls
+    np.testing.assert_array_equal(
+        c2, oracle.map_kmers_to_index(arrays, q2, max_node_id=int(nodes.max()))
+    )
+
+
+def test_mapper_reset_counts():
+    from kmer_mapper_tpu.models.mapper import KmerMapper, MapperConfig
+
+    rng = np.random.default_rng(22)
+    keys = np.unique(rng.integers(0, 1 << 62, 200, dtype=np.uint64))
+    index = ki.TpuKmerIndex.from_counter_keys(keys)
+    mapper = KmerMapper(index, MapperConfig(k=31, buf=256, max_reads=16))
+    mapper.map_hashes(keys[:50])
+    assert mapper.n_kmers_mapped == 50
+    assert mapper.slot_counts().sum() == 50
+    mapper.reset_counts()
+    assert mapper.n_kmers_mapped == 0
+    assert mapper.slot_counts().sum() == 0
+    mapper.map_hashes(keys[:7])
+    assert mapper.slot_counts().sum() == 7
