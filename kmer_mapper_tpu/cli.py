@@ -182,6 +182,8 @@ def _cmd_map(args):
             index_parallel=args.index_parallel,
             n_devices=args.n_devices,
             queue_depth=max(2, min(args.n_threads, 16)),
+            strict_bases=args.strict_bases,
+            profile_dir=args.profile_dir,
         )
     else:
         node_counts = pipeline.map_file(

@@ -24,11 +24,12 @@ logger = logging.getLogger(__name__)
 # KAGE calls these wrappers repeatedly with the same index object/path
 # (``mapper.pyx:19,81`` is its per-batch call surface); rebuilding the device
 # table per call costs tens of seconds for a real index, so resolved indexes
-# and their device-resident mappers are cached. Object keys are id()-based
-# with weakref.finalize eviction (the arrays dataclass is not hashable).
+# are cached (object keys are id()-based with weakref.finalize eviction — the
+# arrays dataclass is not hashable) and the device-resident mapper lives ON
+# the TpuKmerIndex, so it dies exactly when the index does (a global
+# mapper cache would pin the index forever through mapper.index).
 _path_cache: dict[str, TpuKmerIndex] = {}
 _obj_cache: dict[int, TpuKmerIndex] = {}
-_mapper_cache: dict[int, KmerMapper] = {}
 
 
 def _as_tpu_index(index) -> TpuKmerIndex:
@@ -52,11 +53,10 @@ def _as_tpu_index(index) -> TpuKmerIndex:
 
 
 def _shared_mapper(tpu: TpuKmerIndex, k: int = 31) -> KmerMapper:
-    mapper = _mapper_cache.get(id(tpu))
+    mapper = getattr(tpu, "_compat_mapper", None)
     if mapper is None or mapper.config.k != k:
         mapper = KmerMapper(tpu, MapperConfig(k=k, buf=256, max_reads=16))
-        _mapper_cache[id(tpu)] = mapper
-        weakref.finalize(tpu, _mapper_cache.pop, id(tpu), None)
+        tpu._compat_mapper = mapper
     return mapper
 
 

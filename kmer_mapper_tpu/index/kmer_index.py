@@ -112,19 +112,29 @@ class TpuKmerIndex:
         nodes: np.ndarray,
         frequencies: np.ndarray | None = None,
         max_load: float = layout.DEFAULT_MAX_LOAD,
+        extra_keys: np.ndarray | None = None,
     ) -> "TpuKmerIndex":
+        """Build from (kmer, node) entry pairs. ``extra_keys`` are additional
+        countable kmers with no node mapping (a CounterKmerIndex may count
+        keys that carry no entry); they are probeable and appear in
+        ``kmer_counts`` but contribute to no node."""
         kmers = np.asarray(kmers, dtype=np.uint64)
         nodes = np.asarray(nodes, dtype=np.int32)
+        all_keys = kmers
+        if extra_keys is not None and len(extra_keys):
+            all_keys = np.concatenate([kmers, np.asarray(extra_keys, np.uint64)])
         # one unique pass: the inverse maps entries to unique keys, and the
         # table build records each unique key's slot — so entry slots come
         # from two gathers instead of re-probing every entry (which dominated
         # build time at 10M+ keys)
-        unique, inverse = np.unique(kmers, return_inverse=True)
+        unique, inverse = np.unique(all_keys, return_inverse=True)
+        inverse = inverse[: len(kmers)]
         if frequencies is None:
             counts = np.bincount(inverse, minlength=len(unique))
             frequencies = np.minimum(counts[inverse], 65535).astype(np.uint16)
         table = layout.build_table(unique, max_load=max_load)
         entry_slot = table.build_slots[inverse]
+        table.build_slots = None  # build byproduct; ~8 B/key not needed again
         return cls(
             table=table,
             entry_slot=entry_slot.astype(np.int32),
@@ -140,6 +150,7 @@ class TpuKmerIndex:
         unique = np.unique(np.asarray(unique_kmers, dtype=np.uint64))
         table = layout.build_table(unique)
         slot = table.build_slots
+        table.build_slots = None
         return cls(
             table=table,
             entry_slot=slot.astype(np.int32),

@@ -30,7 +30,16 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 _STUB_PREFIXES = ("graph_kmer_index", "npstructures", "shared_memory_wrapper", "kmer_mapper")
-_NUMPY_PREFIXES = ("numpy",)
+# the only real callables a numpy-array pickle needs for reconstruction —
+# allowing all of numpy.* would expose e.g. numpy.ctypeslib.load_library
+_NUMPY_ALLOWED = {
+    "_reconstruct",  # numpy.core.multiarray / numpy._core.multiarray
+    "scalar",
+    "ndarray",
+    "dtype",
+    "_frombuffer",
+    "_DType_reconstruct",
+}
 
 
 class _Stub:
@@ -65,8 +74,12 @@ def _make_stub(module: str, name: str) -> type:
 
 class ShimUnpickler(pickle.Unpickler):
     def find_class(self, module, name):
-        if module.split(".")[0] in (p.split(".")[0] for p in _NUMPY_PREFIXES):
-            return super().find_class(module, name)
+        if module.split(".")[0] == "numpy":
+            if name in _NUMPY_ALLOWED:
+                return super().find_class(module, name)
+            raise pickle.UnpicklingError(
+                f"refusing to unpickle numpy callable {module}.{name}"
+            )
         if any(module.startswith(p) for p in _STUB_PREFIXES):
             return _make_stub(module, name)
         raise pickle.UnpicklingError(
@@ -156,17 +169,19 @@ def load_pickled_counter_index(path_or_file):
         and len(kmers) == len(nodes)
         and len(kmers)
     ):
-        index = TpuKmerIndex.from_entries(
-            kmers.astype(np.uint64), nodes.astype(np.int64).astype(np.int32)
-        )
-        # ensure every counter key is probeable even if absent from entries
+        # counter keys absent from the entries stay probeable/countable (they
+        # just map to no node), so counter semantics survive the conversion
         missing = np.setdiff1d(keys, np.unique(kmers.astype(np.uint64)))
         if len(missing):
             logger.warning(
                 "%d counter keys have no (kmer, node) entry; counting them only",
                 len(missing),
             )
-        return index
+        return TpuKmerIndex.from_entries(
+            kmers.astype(np.uint64),
+            nodes.astype(np.int64).astype(np.int32),
+            extra_keys=missing,
+        )
     return TpuKmerIndex.from_counter_keys(keys)
 
 

@@ -122,6 +122,7 @@ class BgzfReader(io.RawIOBase):
         self._pending: list = []  # futures, in file order
         self._comp = bytearray()  # compressed tail not yet split
         self._eof_file = False
+        self._serial_tail = False  # hit a non-BGZF member: finish serially
         self._buf = bytearray()
         self._max_pending = max(2, 2 * n_threads)
 
@@ -159,14 +160,14 @@ class BgzfReader(io.RawIOBase):
         while len(self._pending) < self._max_pending:
             if self._split_and_submit():
                 continue
+            if self._comp and bgzf_block_size(bytes(self._comp[:64])) is None:
+                # a non-BGZF member (or garbage): everything from here on is
+                # handled as one serial gzip stream, AFTER the in-flight BGZF
+                # blocks drain — ordering is preserved by _drain_tail running
+                # only once _pending is empty
+                self._serial_tail = True
+                return
             if self._eof_file:
-                if self._comp:
-                    # trailing non-BGZF member (e.g. bgzip EOF marker is BGZF,
-                    # but tolerate odd tails by zlib-decoding them)
-                    tail = zlib.decompress(bytes(self._comp), wbits=31)
-                    self._comp.clear()
-                    if tail:
-                        self._buf += tail
                 return
             chunk = self._file.read(self.READ_AHEAD)
             if not chunk:
@@ -174,13 +175,51 @@ class BgzfReader(io.RawIOBase):
             else:
                 self._comp += chunk
 
+    def _drain_tail(self):
+        """Serial multi-member zlib decode of the non-BGZF remainder (runs
+        only once every parallel block has been delivered, so output order is
+        preserved; loops over concatenated members — one-shot zlib.decompress
+        would silently drop everything after the first)."""
+        while True:
+            while not self._comp and not self._eof_file:
+                chunk = self._file.read(self.READ_AHEAD)
+                if chunk:
+                    self._comp += chunk
+                else:
+                    self._eof_file = True
+            if not self._comp:
+                return
+            d = zlib.decompressobj(wbits=31)
+            while not d.eof:
+                if not self._comp:
+                    if self._eof_file:
+                        raise OSError("truncated gzip member at end of file")
+                    chunk = self._file.read(self.READ_AHEAD)
+                    if chunk:
+                        self._comp += chunk
+                    else:
+                        self._eof_file = True
+                    continue
+                self._buf += d.decompress(bytes(self._comp))
+                self._comp.clear()
+            self._comp += d.unused_data
+
     def read(self, n=-1):
-        assert n is not None and n >= 0
+        if n is None or n < 0:  # io contract: read() / read(-1) = read all
+            out = bytearray()
+            while True:
+                block = self.read(1 << 24)
+                if not block:
+                    return bytes(out)
+                out += block
         while len(self._buf) < n:
             self._fill_pipeline()
-            if not self._pending:
-                break
-            self._buf += self._pending.pop(0).result()
+            if self._pending:
+                self._buf += self._pending.pop(0).result()
+                continue
+            if self._serial_tail or (self._eof_file and self._comp):
+                self._drain_tail()
+            break
         out = bytes(self._buf[:n])
         del self._buf[:n]
         return out

@@ -55,6 +55,8 @@ class MapperConfig:
         assert self.probe in ("stream", "gather")
         assert self.accumulate in probe.ACCUMULATORS
         assert self.super_batch >= 1
+        if self.stream_cap >= 128 and self.stream_cap % 128:
+            raise ValueError("stream_cap must be a multiple of 128 (or < 128)")
 
     @property
     def packed_words(self) -> int:
@@ -258,7 +260,12 @@ class KmerMapper:
         n = len(kmers)
         lo, hi = split_u64(kmers)
         table = self.index.table
-        if n >= self.STREAM_HASH_MIN and jax.default_backend() == "tpu":
+        # compiled stream kernel on TPU; interpret-mode configs (CPU tests)
+        # can exercise the same branch
+        stream_ok = jax.default_backend() == "tpu" or (
+            self.config.probe == "stream" and self.config.interpret
+        )
+        if n >= self.STREAM_HASH_MIN and stream_ok:
             npad = 1 << max(0, (n - 1)).bit_length()
             valid = np.zeros(npad, dtype=bool)
             valid[:n] = True
@@ -270,6 +277,7 @@ class KmerMapper:
                     return stream_probe.stream_probe_count(
                         key_lo, key_hi, counts, q_lo, q_hi, q_valid,
                         table.seed, table.max_probe, block_probe=block_probe,
+                        interpret=self.config.interpret,
                     )
 
                 step = self._hash_steps[npad] = jax.jit(run, donate_argnums=(2,))

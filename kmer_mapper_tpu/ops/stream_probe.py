@@ -59,6 +59,7 @@ DEFAULT_CAP = 1024  # queries per kernel tile. Standalone the kernel measures
 # 1024 wins decisively (305 vs 272 Mkmers/s); trust the in-context number.
 DEFAULT_COARSE = 8  # chain blocks per grid step (amortizes grid-step overhead)
 N_DMA_SLOTS = 4  # query-tile DMA pipelining depth (issued n-1 tiles ahead)
+SMEM_I32_BUDGET = 200_000  # scalar-prefetch words that safely fit SMEM (1 MB)
 DEFAULT_SUB = 1  # adjacent chain blocks served by one tile iteration.
 # sub=2 measured SLOWER composed (247 vs 308 Mkmers/s): every tile of a
 # 2-block group evaluates both blocks' matmuls, and most tiles sit entirely
@@ -154,6 +155,7 @@ def _kernel(
     t_pad: int,
     n_slots: int,
     sub: int,
+    use_meta: bool,
 ):
     """One grid step = ``coarse`` chain blocks, iterated as ONE flat fori_loop
     over query tiles (a dissection measured ~0.9 us of pure loop-setup /
@@ -163,45 +165,91 @@ def _kernel(
     adjacent chain blocks — their query windows are contiguous in the sorted
     array, so one DMA and one iteration's control work cover ``sub`` blocks,
     while the gather matmul stays split per block (contraction dim bpb; a
-    single 2*bpb contraction measured slower). The flat tile -> (group, DMA
-    offset) schedule is precomputed on the XLA side into scalar-prefetch
-    arrays, so an iteration does a handful of SMEM reads and the fused DMA can
-    be issued ``n_slots - 1`` tiles ahead — across group boundaries."""
+    single 2*bpb contraction measured slower).
+
+    Two schedule modes: with ``use_meta`` the flat tile -> (group, DMA offset)
+    schedule is precomputed on the XLA side into scalar-prefetch arrays
+    (``t_pad`` entries each), so an iteration does a handful of SMEM reads and
+    the fused DMA can be issued ``n_slots - 1`` tiles ahead across group
+    boundaries. For large tables those arrays would overflow SMEM (~1 MB), so
+    the fallback derives the (group, tile) cursor with a scalar while_loop and
+    double-buffers one tile ahead (~1% slower at the production config)."""
     ci = pl.program_id(0)
     counts_out_ref[...] = counts_in_ref[...]
     rows = lax.broadcasted_iota(jnp.int32, (bpb, cap), 0)
     lane_pos = lax.broadcasted_iota(jnp.int32, (1, cap), 1)
     K = BUCKET_KEYS
     n_steps = n_blocks // coarse
+    n_local_groups = coarse // sub
     t_lo = off_ref[2 * n_blocks + 2 + ci]
     t_hi = off_ref[2 * n_blocks + 2 + ci + 1]
     meta0 = 2 * n_blocks + 2 + n_steps + 1
     align = min(ALIGN, cap)
 
-    def dma(t, slot):
+    def group_window(grp):
+        """(start, end, base, n_tiles) of group ``grp``'s query window."""
+        start = off_ref[grp * sub + 1]
+        end = off_ref[grp * sub + sub + 1]
+        base = start & ~jnp.int32(align - 1)
+        n_tiles = lax.select(
+            end > start, (end - base + jnp.int32(cap - 1)) // cap, jnp.int32(0)
+        )
+        return start, end, base, n_tiles
+
+    def dma_at(offset, slot):
         # one fused (4, cap) copy per tile: bucket/lo/hi rows share the
         # offset, so three copies + three semaphore waits become one
-        o = pl.multiple_of(off_ref[meta0 + t_pad + t], align)
+        o = pl.multiple_of(offset, align)
         return pltpu.make_async_copy(
             q_hbm.at[:, pl.ds(o, cap)], q_s.at[slot], sems.at[slot]
         )
 
-    for w in range(n_slots - 1):
-        @pl.when(t_lo + w < t_hi)
-        def _(w=w):
-            dma(t_lo + w, w % n_slots).start()
+    if use_meta:
+        def tile_meta(t):
+            return off_ref[meta0 + t], off_ref[meta0 + t_pad + t]
 
-    def body(ti, _):
-        t = t_lo + ti
+        for w in range(n_slots - 1):
+            @pl.when(t_lo + w < t_hi)
+            def _(w=w):
+                dma_at(tile_meta(t_lo + w)[1], w % n_slots).start()
+    else:
+        g_hi = (ci + 1) * n_local_groups
 
-        @pl.when(ti + n_slots - 1 < t_hi - t_lo)
+        def advance(grp, j):
+            # skip to the next group that still has tile j to process
+            def cond(c):
+                grp, j = c
+                return (grp < g_hi) & (j >= group_window(grp)[3])
+
+            return lax.while_loop(cond, lambda c: (c[0] + 1, jnp.int32(0)), (grp, j))
+
+        g0, j0 = advance(ci * n_local_groups, jnp.int32(0))
+
+        @pl.when(t_hi > t_lo)
         def _():
-            dma(t + n_slots - 1, (ti + n_slots - 1) % n_slots).start()
+            dma_at(group_window(g0)[2] + j0 * cap, 0).start()
 
+    def body(ti, carry):
+        t = t_lo + ti
         slot = ti % n_slots
-        grp = off_ref[meta0 + t]  # block-group id
-        base_j = off_ref[meta0 + t_pad + t]  # DMA offset = group base + j*cap
-        dma(t, slot).wait()
+        if use_meta:
+            @pl.when(ti + n_slots - 1 < t_hi - t_lo)
+            def _():
+                dma_at(
+                    tile_meta(t + n_slots - 1)[1], (ti + n_slots - 1) % n_slots
+                ).start()
+
+            grp, base_j = tile_meta(t)  # group id, DMA offset = base + j*cap
+        else:
+            grp, j = carry
+            gn, jn = advance(grp, j + 1)
+
+            @pl.when(ti + 1 < t_hi - t_lo)
+            def _():
+                dma_at(group_window(gn)[2] + jn * cap, (ti + 1) % n_slots).start()
+
+            base_j = group_window(grp)[2] + j * cap
+        dma_at(base_j, slot).wait()
         pos = base_j + lane_pos  # (1, cap)
         qb = q_s[slot, 0:1, :].astype(jnp.int32)
         qh = _bytes8(q_s[slot, 1:2, :], q_s[slot, 2:3, :])  # 8 x (1, cap)
@@ -263,9 +311,12 @@ def _kernel(
         counts_out_ref[pl.ds(grow0, sub * bpb), :] = counts_out_ref[
             pl.ds(grow0, sub * bpb), :
         ] + full.astype(jnp.int32).astype(jnp.uint32)
-        return 0
+        return 0 if use_meta else (gn, jn)
 
-    lax.fori_loop(0, t_hi - t_lo, body, 0)
+    if use_meta:
+        lax.fori_loop(0, t_hi - t_lo, body, 0)
+    else:
+        lax.fori_loop(0, t_hi - t_lo, body, (g0, j0))
 
 
 def stream_count(
@@ -294,6 +345,9 @@ def stream_count(
     n_local = key_lo.shape[0]
     bpb = min(CHAIN_BLOCK, n_local) if chain_block is None else chain_block
     assert n_local % bpb == 0, "table shard must be a multiple of the chain block"
+    # the DMA-offset alignment promised to Mosaic (pl.multiple_of) requires
+    # tile strides to preserve the window base's alignment
+    assert cap % min(ALIGN, cap) == 0, f"cap must be a multiple of {ALIGN} (or < {ALIGN})"
     n_blocks = n_local // bpb
     coarse = max(1, min(coarse, n_blocks))
     while n_blocks % coarse:
@@ -312,6 +366,21 @@ def stream_count(
     q = jnp.stack([sorted_b, sorted_lo, sorted_hi, sorted_hi])  # (4, n_padded)
     counts2d = counts.reshape(n_local, BUCKET_KEYS)
 
+    # scalar-prefetch operands live in SMEM (~1 MB): the per-tile schedule
+    # arrays only fit for small/medium tables; large tables use the in-kernel
+    # while-cursor schedule (measured ~1% slower at the production config)
+    n_groups = n_blocks // sub
+    t_pad = (n + pad) // cap + n_groups  # static bound on total tiles
+    base_len = 2 * n_blocks + 2 + n_blocks // coarse + 1
+    use_meta = base_len + 2 * t_pad <= SMEM_I32_BUDGET
+    if not use_meta and base_len > SMEM_I32_BUDGET:
+        raise ValueError(
+            f"table too large for a single-chip stream kernel ({n_blocks} chain "
+            "blocks of scalar metadata exceed SMEM); shard the index "
+            "(--index-parallel) or use probe='gather'"
+        )
+    n_slots = N_DMA_SLOTS if use_meta else 2
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_blocks // coarse,),
@@ -323,8 +392,8 @@ def stream_count(
         ],
         out_specs=pl.BlockSpec((coarse * bpb, BUCKET_KEYS), lambda i, off: (i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((N_DMA_SLOTS, 4, cap), jnp.uint32),
-            pltpu.SemaphoreType.DMA((N_DMA_SLOTS,)),
+            pltpu.VMEM((n_slots, 4, cap), jnp.uint32),
+            pltpu.SemaphoreType.DMA((n_slots,)),
         ],
     )
     if block_probe is None:
@@ -334,7 +403,6 @@ def stream_count(
     # counts -> cumulative bounds at coarse boundaries, plus per-tile
     # (group id, DMA offset) scalar-prefetch arrays
     align = min(ALIGN, cap)
-    n_groups = n_blocks // sub
     g_starts = off[0 : n_blocks : sub]
     g_ends = off[sub : n_blocks + 1 : sub]
     bases = g_starts & ~jnp.int32(align - 1)
@@ -345,28 +413,26 @@ def stream_count(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(n_tiles_g, dtype=jnp.int32)]
     )
     tile_bounds = csum[:: coarse // sub]  # (n_blocks // coarse + 1,)
-    t_pad = (n + pad) // cap + n_groups  # static bound on total tiles
-    # t_group[t] = which group flat tile t serves (boundary scatter + cumsum)
-    t_group = jnp.cumsum(
-        jnp.zeros(t_pad, jnp.int32).at[csum[1:]].add(1, mode="drop")
-    )
-    t_in_group = (
-        jnp.arange(t_pad, dtype=jnp.int32) - csum[jnp.minimum(t_group, n_groups)]
-    )
-    t_off = bases[jnp.minimum(t_group, n_groups - 1)] + t_in_group * jnp.int32(cap)
-    scalars = jnp.concatenate(
-        [
-            jnp.asarray(bucket_base, dtype=jnp.int32).reshape(1),
-            off,
-            jnp.asarray(block_probe, dtype=jnp.int32),
-            tile_bounds,
-            t_group,
-            t_off,
-        ]
-    )
+    parts = [
+        jnp.asarray(bucket_base, dtype=jnp.int32).reshape(1),
+        off,
+        jnp.asarray(block_probe, dtype=jnp.int32),
+        tile_bounds,
+    ]
+    if use_meta:
+        # t_group[t] = group of flat tile t (boundary scatter + cumsum)
+        t_group = jnp.cumsum(
+            jnp.zeros(t_pad, jnp.int32).at[csum[1:]].add(1, mode="drop")
+        )
+        t_in_group = (
+            jnp.arange(t_pad, dtype=jnp.int32) - csum[jnp.minimum(t_group, n_groups)]
+        )
+        t_off = bases[jnp.minimum(t_group, n_groups - 1)] + t_in_group * jnp.int32(cap)
+        parts += [t_group, t_off]
+    scalars = jnp.concatenate(parts)
     kernel = functools.partial(
         _kernel, cap=cap, bpb=bpb, max_probe=max_probe, n_blocks=n_blocks,
-        coarse=coarse, t_pad=t_pad, n_slots=N_DMA_SLOTS, sub=sub,
+        coarse=coarse, t_pad=t_pad, n_slots=n_slots, sub=sub, use_meta=use_meta,
     )
     out = pl.pallas_call(
         kernel,

@@ -125,16 +125,18 @@ def map_file(
             bar = tqdm.tqdm(total=max(approx_chunks, 1), unit="chunk", smoothing=0.1)
         except ImportError:
             pass
+    import contextlib
+
     from .utils import profiling
 
-    with profiling.trace(profile_dir) if profile_dir else _null_context():
+    with profiling.trace(profile_dir) if profile_dir else contextlib.nullcontext():
         for packed_codes, lengths, n_bases, n_reads, n_invalid in chunk_iter:
             if strict_bases and n_invalid:
                 raise ValueError(
                     f"{n_invalid} invalid (non-ACGTN) bases in input "
                     "(--strict-bases; the reference's DNAEncoding would raise too)"
                 )
-            with profiling.step_annotation("map_chunk") if profile_dir else _null_context():
+            with profiling.step_annotation("map_chunk") if profile_dir else contextlib.nullcontext():
                 mapper.map_chunk(packed_codes, lengths, n_bases, n_invalid)
             n_chunks += 1
             if bar is not None:
@@ -228,14 +230,19 @@ def map_file_sharded(
     index_parallel: int = 1,
     n_devices: int | None = None,
     queue_depth: int = 4,
+    strict_bases: bool = False,
+    profile_dir: str | None = None,
 ) -> np.ndarray:
     """Multi-device mapping over a (data, index) mesh: chunks fan out over the
     data axis, the table shards over the index axis (for multi-GB indexes),
     counts are combined on device at finalization. Single-host multi-chip; for
     multi-host, run one pipeline per host on its own file shard and sum the
-    node-count vectors."""
+    node-count vectors. ``strict_bases``/``profile_dir`` as in ``map_file``."""
+    import contextlib
+
     from .models.mapper import default_config
     from .parallel import ShardedKmerMapper, batch_packed_chunks, make_mesh
+    from .utils import profiling
 
     index = load_index(index)
     mesh = make_mesh(n_devices=n_devices, index_parallel=index_parallel)
@@ -253,9 +260,17 @@ def map_file_sharded(
     )
     t = time.perf_counter()
     n_batches = 0
-    for batch in prefetch(batches, depth=queue_depth):
-        mapper.map_batch(*batch)
-        n_batches += 1
+    with profiling.trace(profile_dir) if profile_dir else contextlib.nullcontext():
+        for batch in prefetch(batches, depth=queue_depth):
+            if strict_bases and batch[3]:
+                raise ValueError(
+                    f"{batch[3]} invalid (non-ACGTN) bases in input "
+                    "(--strict-bases; the reference's DNAEncoding would raise too)"
+                )
+            mapper.map_batch(*batch)
+            n_batches += 1
+        if profile_dir:
+            _ = mapper.n_kmers_mapped
     logger.info(
         "Mapped %d kmers in %d batches over mesh %s in %.3f sec",
         mapper.n_kmers_mapped,
@@ -288,12 +303,6 @@ def map_sequences(
     ):
         mapper.map_chunk(packed, lengths, n_bases, n_invalid)
     return mapper.node_counts(max_frequency=max_frequency)
-
-
-def _null_context():
-    import contextlib
-
-    return contextlib.nullcontext()
 
 
 def _buf_floor() -> int:

@@ -279,3 +279,29 @@ def test_window_mask_padding_contract():
     m2 = np.asarray(hashing.window_mask(jnp.asarray(starts_big), jnp.int32(n_bases), k, buf))
     np.testing.assert_array_equal(m1, m2)
     assert m1[: n_bases - k + 1].all() and not m1[n_bases - k + 1 :].any()
+
+
+def test_map_hashes_stream_route_matches_gather():
+    """The large-batch stream route of map_hashes (interpret mode here; the
+    compiled path on TPU) must count identically to the gather route."""
+    from kmer_mapper_tpu.models.mapper import KmerMapper, MapperConfig
+
+    rng = np.random.default_rng(31)
+    keys = np.unique(rng.integers(0, 1 << 62, 3000, dtype=np.uint64))
+    index = ki.TpuKmerIndex.from_counter_keys(keys)
+    hashes = np.concatenate(
+        [rng.choice(keys, 1500), rng.integers(0, 1 << 62, 548, dtype=np.uint64)]
+    )
+    gather = KmerMapper(index, MapperConfig(k=31, buf=256, max_reads=16))
+    gather.map_hashes(hashes)
+    stream = KmerMapper(
+        index, MapperConfig(k=31, buf=256, max_reads=16, probe="stream", interpret=True)
+    )
+    old_min = KmerMapper.STREAM_HASH_MIN
+    KmerMapper.STREAM_HASH_MIN = 1024  # force the stream route at test size
+    try:
+        stream.map_hashes(hashes)
+    finally:
+        KmerMapper.STREAM_HASH_MIN = old_min
+    np.testing.assert_array_equal(stream.slot_counts(), gather.slot_counts())
+    assert stream.n_kmers_mapped == len(hashes)

@@ -109,3 +109,48 @@ def test_plain_gzip_still_works(tmp_path):
         got += b
     stream.close()
     assert bytes(got) == payload
+
+
+def test_bgzf_with_trailing_plain_gzip_members(tmp_path, needs_libdeflate):
+    """A BGZF file with plain-gzip members concatenated after it (cat a.bgzf
+    b.fq.gz c.fq.gz): ordering must hold and every member must decode —
+    one-shot zlib.decompress would silently drop all but the first."""
+    rng = np.random.default_rng(1)
+    head = rng.integers(0, 256, 400_000, dtype=np.uint8).tobytes()
+    mid = b"MID" * 50_000
+    tail = b"TAIL" * 25_000
+    p = tmp_path / "mixed.gz"
+    write_bgzf(p, head)
+    with open(p, "ab") as f:
+        f.write(gzip.compress(mid))
+        f.write(gzip.compress(tail))
+    r = gzio.open_gzip(str(p))
+    assert isinstance(r, gzio.BgzfReader)
+    got = bytearray()
+    while True:
+        b = r.read(77_777)
+        if not b:
+            break
+        got += b
+    r.close()
+    assert bytes(got) == head + mid + tail
+
+
+def test_bgzf_read_all_contract(tmp_path, needs_libdeflate):
+    payload = b"xyz" * 100_000
+    p = tmp_path / "r.gz"
+    write_bgzf(p, payload)
+    r = gzio.open_gzip(str(p))
+    assert r.read(-1) == payload  # io contract: read-all
+    r.close()
+
+
+def test_bgzf_truncated_tail_raises(tmp_path, needs_libdeflate):
+    p = tmp_path / "t.gz"
+    write_bgzf(p, b"ok" * 50_000)
+    with open(p, "ab") as f:
+        f.write(gzip.compress(b"lost")[:-6])  # truncated trailing member
+    r = gzio.open_gzip(str(p))
+    with pytest.raises(OSError):
+        r.read(-1)
+    r.close()

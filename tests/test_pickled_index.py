@@ -127,3 +127,44 @@ def test_no_keys_raises(tmp_path, fake_tree):
         pickle.dump(idx, f)
     with pytest.raises(ValueError, match="no counter keys"):
         load_pickled_counter_index(str(path))
+
+
+def test_counter_keys_missing_from_entries_still_countable(tmp_path, fake_tree):
+    """Counter keys with no (kmer, node) entry must remain probeable and
+    appear in the counter view (reference counter semantics)."""
+    rng = np.random.default_rng(6)
+    entry_kmers = np.unique(rng.integers(0, 1 << 62, 100, dtype=np.uint64))
+    nodes = rng.integers(0, 20, len(entry_kmers)).astype(np.int64)
+    extra = np.unique(rng.integers(0, 1 << 62, 40, dtype=np.uint64))
+    extra = np.setdiff1d(extra, entry_kmers)
+    all_keys = np.union1d(entry_kmers, extra)
+    path = tmp_path / "c.pkl"
+    with open(path, "wb") as f:
+        pickle.dump(fake_tree(all_keys, kmers=entry_kmers, nodes=nodes), f)
+    index = load_index(str(path))
+    assert index.n_unique == len(all_keys)
+    from kmer_mapper_tpu.index.layout import query_table
+
+    slots = query_table(index.table, extra)
+    assert (slots >= 0).all()  # extra keys probeable
+    # and they contribute to no node
+    counts = np.zeros(index.table.n_slots, dtype=np.uint32)
+    np.add.at(counts, slots, 1)
+    assert index.node_counts(counts).sum() == 0
+
+
+class _EvilNumpyCall:
+    """Pickles to a REDUCE of numpy.save — a side-effecting numpy callable
+    that the shim's reconstruction allowlist must refuse."""
+
+    def __reduce__(self):
+        return (np.save, (str("/tmp/pwn"), np.arange(3)))
+
+
+def test_numpy_namespace_restricted(tmp_path):
+    path = tmp_path / "evil2.pkl"
+    with open(path, "wb") as f:
+        pickle.dump(_EvilNumpyCall(), f)
+    with pytest.raises(Exception, match="refus"):
+        load_pickled_counter_index(str(path))
+    assert not (tmp_path / "pwn.npy").exists()

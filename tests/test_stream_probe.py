@@ -193,3 +193,23 @@ def test_custom_bisection_matches_numpy_searchsorted():
     got = np.asarray(stream_probe._searchsorted_u32(jnp.asarray(vals), jnp.asarray(queries)))
     expect = np.searchsorted(vals, queries, side="left")
     np.testing.assert_array_equal(got, expect)
+
+
+def test_cursor_schedule_fallback_matches_meta(monkeypatch):
+    """Large tables fall back to the in-kernel while-cursor schedule when the
+    per-tile metadata would overflow SMEM; both schedules must count
+    identically (forced here by shrinking the budget)."""
+    from kmer_mapper_tpu.ops import stream_probe as sp
+
+    rng = np.random.default_rng(77)
+    keys = np.unique(rng.integers(0, 1 << 62, 4000, dtype=np.uint64))
+    table = layout.build_table(keys)
+    queries = np.concatenate(
+        [rng.choice(keys, 3000), rng.integers(0, 1 << 62, 1096, dtype=np.uint64)]
+    )
+    valid = np.ones(len(queries), dtype=bool)
+    valid[::7] = False
+    meta = _run_stream(table, queries, valid, cap=256)
+    monkeypatch.setattr(sp, "SMEM_I32_BUDGET", 200)  # force cursor mode
+    cursor = _run_stream(table, queries, valid, cap=256)
+    np.testing.assert_array_equal(meta, cursor)
