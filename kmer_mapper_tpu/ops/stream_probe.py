@@ -6,15 +6,15 @@ streaming — the shape TPUs are built for:
 1. Queries are sorted by bucket id (one multi-operand XLA sort; invalid
    windows get bucket 0xFFFFFFFF and fall off the end).
 2. a vectorized bisection finds each CHAIN_BLOCK-aligned table block's query
-   range.
+   range, and a flat (tile -> block, DMA offset) schedule is precomputed.
 3. A Pallas kernel walks the table in ``coarse``-block grid steps
-   (auto-pipelined VMEM tiles; coarsening amortizes Mosaic's per-grid-step
-   cost), and per chain block DMAs that block's **exact query window**
-   ``[start & ~127, end)`` in cap-sized pieces as **one fused (3, cap) copy**
-   (bucket/lo/hi rows share the offset — one DMA + one semaphore instead of
-   three; exact windows instead of globally cap-aligned tiles halve the
-   iteration count, since an average block's queries would straddle two global
-   tiles). The per-query "gather" is a **one-hot matmul on the MXU**:
+   (auto-pipelined VMEM tiles) and runs ONE flat loop over each step's query
+   tiles — each block's **exact window** ``[start & ~127, end)`` in cap-sized
+   pieces, each piece **one fused (4, cap) DMA** (bucket/lo/hi rows share the
+   offset: one copy + one semaphore instead of three), issued several tiles
+   ahead across block boundaries. The schedule comes from scalar-prefetch
+   arrays when it fits SMEM, else from an in-kernel scalar cursor (large
+   tables). The per-query "gather" is a **one-hot matmul on the MXU**:
    ``table_bytesᵀ ⨯ one_hot(bucket)`` fetches each query's 8 candidate keys as
    byte planes; the hit mask is pure VPU compares; a second matmul turns hits
    into per-slot count contributions accumulated directly into the VMEM counts

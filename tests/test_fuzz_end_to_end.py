@@ -49,8 +49,14 @@ def test_random_config_matches_oracle(tmp_path, trial):
     else:
         text = "".join(f">r{i}\n{s}\n" for i, s in enumerate(reads))
     if gz:
-        with gzip.open(path, "wt") as f:
-            f.write(text)
+        from kmer_mapper_tpu.io import gzio
+        if gzio.libdeflate() is not None and bool(rng.integers(0, 2)):
+            from test_gzio import write_bgzf  # BGZF container variant
+
+            write_bgzf(path, text.encode(), block_out=int(rng.choice([700, 5000])))
+        else:
+            with gzip.open(path, "wt") as f:
+                f.write(text)
     else:
         path.write_text(text)
 

@@ -131,3 +131,36 @@ def test_two_process_distributed_smoke(tmp_path):
                 shards[int(pid)] = set(files.split(",")) - {""}
     assert shards[0] | shards[1] == {f"f{i}" for i in range(5)}
     assert not (shards[0] & shards[1])
+
+
+def test_sharded_files_merge_equals_whole_file(tmp_path):
+    """The multi-host recipe (map each host's file shard independently, merge
+    the node-count vectors) must equal mapping everything in one job."""
+    import numpy as np
+
+    from kmer_mapper_tpu import oracle, pipeline
+    from kmer_mapper_tpu.index import kmer_index as ki
+
+    rng = np.random.default_rng(33)
+    reads = ["".join(rng.choice(list("ACGT"), 60)) for _ in range(90)]
+    codes = [oracle.encode_string(r) for r in reads]
+    kmers = oracle.kmer_hashes_ragged(
+        np.concatenate(codes), np.array([len(c) for c in codes]), 9
+    )
+    entries = np.unique(rng.choice(kmers, 300))
+    nodes = rng.integers(0, 40, len(entries)).astype(np.int32)
+    index = ki.TpuKmerIndex.from_entries(entries, nodes)
+
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"shard{i}.fa"
+        shard = multihost.host_shard(reads, process_index=i, process_count=3)
+        p.write_text("".join(f">r{j}\n{s}\n" for j, s in enumerate(shard)))
+        paths.append(str(p))
+    whole = tmp_path / "all.fa"
+    whole.write_text("".join(f">r{j}\n{s}\n" for j, s in enumerate(reads)))
+
+    per_host = [pipeline.map_file(index, p, k=9, progress=False) for p in paths]
+    merged = multihost.merge_node_counts(per_host)
+    got_whole = pipeline.map_file(index, str(whole), k=9, progress=False)
+    np.testing.assert_array_equal(merged, got_whole)
