@@ -1,0 +1,100 @@
+"""The reference's module paths work after a pure package rename:
+``kmer_mapper.X`` -> ``kmer_mapper_tpu.X`` for mapper / gpu_counter / util /
+command_line_interface (each maps the symbols its reference twin exports)."""
+from __future__ import annotations
+
+import types
+
+import numpy as np
+
+from kmer_mapper_tpu import oracle
+from kmer_mapper_tpu.index import kmer_index as ki
+
+
+def _toy(rng, n=300, n_nodes=40):
+    keys = np.unique(rng.integers(0, 1 << 62, n, dtype=np.uint64))
+    nodes = rng.integers(0, n_nodes, len(keys)).astype(np.int32)
+    return keys, nodes, oracle.build_kmer_index(keys, nodes, 499)
+
+
+def test_mapper_module_alias():
+    from kmer_mapper_tpu.mapper import (
+        in_graph_index,
+        in_graph_index_no_memory_maps,
+        map_kmers_to_graph_index,
+    )
+
+    rng = np.random.default_rng(1)
+    keys, nodes, arrays = _toy(rng)
+    got = map_kmers_to_graph_index(arrays, int(nodes.max()), keys[:50])
+    want = oracle.map_kmers_to_index(arrays, keys[:50], max_node_id=int(nodes.max()))
+    np.testing.assert_array_equal(got, want)
+    member = in_graph_index(arrays, np.concatenate([keys[:5], np.array([2], np.uint64)]))
+    assert member.tolist() == [1, 1, 1, 1, 1, 0] or member[:5].all()
+    assert in_graph_index_no_memory_maps is in_graph_index
+
+
+def test_gpu_counter_module_alias():
+    from kmer_mapper_tpu.gpu_counter import GpuCounter
+
+    rng = np.random.default_rng(2)
+    keys, nodes, _ = _toy(rng)
+    counter = GpuCounter.from_kmers_and_nodes(keys, nodes, 31)
+    counter.initialize_cuda(0)
+    counter.count(keys[:20])
+    got = counter.get_node_counts()
+    want = np.zeros(int(nodes.max()) + 1, dtype=np.uint32)
+    np.add.at(want, nodes[:20], 1)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_util_module_alias(tmp_path):
+    from kmer_mapper_tpu import util
+
+    # hashing glue parity
+    hashes = util.get_kmer_hashes_from_chunk_sequence(["ACGTACG", "TTTTT"], 5)
+    codes = oracle.encode_string("ACGTACGTTTTT")
+    want = oracle.kmer_hashes_ragged(codes, np.array([7, 5]), 5)
+    np.testing.assert_array_equal(hashes, want)
+    # index resolution via args namespace (reference _get_kmer_index_from_args)
+    rng = np.random.default_rng(3)
+    _, _, arrays = _toy(rng)
+    from kmer_mapper_tpu.index.kmer_index import save_reference_npz
+
+    path = tmp_path / "i.npz"
+    save_reference_npz(path, arrays)
+    args = types.SimpleNamespace(kmer_index=str(path), index_bundle=None)
+    index = util._get_kmer_index_from_args(args)
+    assert index.n_unique == len(np.unique(arrays.kmers))
+    # open_file yields the raw bytes
+    f = tmp_path / "r.fa"
+    f.write_text(">a\nACGT\n")
+    stream = util.open_file(str(f))
+    assert stream.read(100).startswith(b">a")
+    stream.close()
+
+
+def test_cli_module_alias(tmp_path):
+    from kmer_mapper_tpu.command_line_interface import main, map_bnp, run_argument_parser
+
+    assert callable(main) and callable(run_argument_parser)
+    rng = np.random.default_rng(4)
+    reads = ["".join(rng.choice(list("ACGT"), 40)) for _ in range(30)]
+    codes = [oracle.encode_string(r) for r in reads]
+    kmers = oracle.kmer_hashes_ragged(
+        np.concatenate(codes), np.array([len(c) for c in codes]), 7
+    )
+    entries = np.unique(rng.choice(kmers, 200))
+    nodes = rng.integers(0, 30, len(entries)).astype(np.int32)
+    arrays = oracle.build_kmer_index(entries, nodes, 499)
+    reads_path = tmp_path / "r.fa"
+    reads_path.write_text("".join(f">r{i}\n{s}\n" for i, s in enumerate(reads)))
+    args = types.SimpleNamespace(
+        kmer_index=ki.TpuKmerIndex.from_arrays(arrays),  # in-memory index form
+        reads=str(reads_path),
+        kmer_size=7,
+        output_file=None,
+    )
+    got = map_bnp(args)
+    want = oracle.map_kmers_to_index(arrays, kmers, max_node_id=int(nodes.max()))
+    np.testing.assert_array_equal(got, want)
