@@ -57,7 +57,7 @@ DEFAULT_CAP = 1024  # queries per kernel tile. Standalone the kernel measures
 # faster at 2048 (34.3 vs 39.0 ms per 16.8M queries, v5e), but in the composed
 # chunk step — where XLA overlaps the next chunk's sort with the kernel —
 # 1024 wins decisively (305 vs 272 Mkmers/s); trust the in-context number.
-DEFAULT_COARSE = 8  # chain blocks per grid step (amortizes grid-step overhead)
+DEFAULT_COARSE = 16  # chain blocks per grid step (amortizes grid-step overhead)
 N_DMA_SLOTS = 4  # query-tile DMA pipelining depth (issued n-1 tiles ahead)
 SMEM_I32_BUDGET = 200_000  # scalar-prefetch words that safely fit SMEM (1 MB)
 DEFAULT_SUB = 1  # adjacent chain blocks served by one tile iteration.

@@ -43,7 +43,7 @@ table = index.table
 key_lo, key_hi = jax.device_put(table.key_lo), jax.device_put(table.key_hi)
 bp = table.block_max_probe()
 
-for cap in (2048, 1024):
+for cap in (1024,):
     config = MapperConfig(k=K, buf=BUF, max_reads=BUF // 64, probe="stream", stream_cap=cap)
     packed = [next(iter(pack_for_device(iter([c]), config.buf, config.max_reads, K)))
               for c in chunks]
