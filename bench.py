@@ -34,8 +34,9 @@ def log(msg):
 
 K = 31
 READ_LEN = 151
-BUF = 16 << 20  # 16 Mi bases per chunk (measured optimum; amortizes per-block
-# kernel and per-dispatch costs)
+BUF = 64 << 20  # 64 Mi bases per chunk (round-3 sweep optimum on v5e;
+# 16/32/64 Mi measure 345/413/457 Mk/s ragged — larger buffers amortize the
+# per-block tile floor; 128 Mi plateaus)
 N_UNIQUE = 4_000_000
 STEPS = 8  # chunk steps chained inside one jitted window
 N_WINDOWS = 4
@@ -87,7 +88,9 @@ def main():
         f"table {table.nbytes / 1e6:.0f} MB, built in {time.perf_counter() - t:.1f}s"
     )
 
-    config = default_config(k=K, buf=BUF, max_reads=BUF // 64)
+    # fixed-length synthetic reads ride the read_len fast path (the Illumina
+    # case); the pipeline auto-detects this from real files
+    config = default_config(k=K, buf=BUF, max_reads=BUF // 64, read_len=READ_LEN)
     packed = [
         next(iter(pack_for_device(iter([c]), config.buf, config.max_reads, K)))
         for c in chunks

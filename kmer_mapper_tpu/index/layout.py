@@ -37,7 +37,9 @@ logger = logging.getLogger(__name__)
 BUCKET_KEYS = 8  # keys per bucket
 CHAIN_BLOCK = 128  # buckets per chain block (kernel tile / shard quantum; measured optimum on v5e)
 EMPTY = np.uint32(0xFFFFFFFF)
-DEFAULT_MAX_LOAD = 0.3
+DEFAULT_MAX_LOAD = 0.5  # round-3 sweep: 0.5 beats 0.3 composed on v5e (half
+# the chain blocks -> half the table DMA and per-block tile floor; the extra
+# chain rounds are scheduled per block and stay cheap)
 MAX_PROBE_LIMIT = 8  # rebuild bigger if a chain would exceed this
 
 

@@ -29,6 +29,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from ..index.kmer_index import TpuKmerIndex
 from ..ops import encode, hashing, probe, stream_probe
@@ -48,6 +49,12 @@ class MapperConfig:
     super_batch: int = 1  # chunks folded into one dispatch (lax.scan): amortizes
     # per-dispatch runtime latency without growing the per-chunk sort
     stream_cap: int = 0  # stream-kernel query tile size (0 = DEFAULT_CAP)
+    read_len: int = 0  # all reads have exactly this length (0 = ragged). With
+    # fixed-length reads (the Illumina case) the k-1 invalid windows per read
+    # form a static pattern, so the ~20% dead window slots are sliced away
+    # before the sort instead of being masked through it — no window_mask, no
+    # per-read cumsum. KmerMapper verifies each chunk and falls back to the
+    # ragged step when a chunk does not match.
 
     def __post_init__(self):
         assert 1 <= self.k <= 31
@@ -57,6 +64,9 @@ class MapperConfig:
         assert self.super_batch >= 1
         if self.stream_cap >= 128 and self.stream_cap % 128:
             raise ValueError("stream_cap must be a multiple of 128 (or < 128)")
+        if self.read_len:
+            assert self.k <= self.read_len <= self.buf
+            assert self.super_batch == 1, "read_len requires super_batch == 1"
 
     @property
     def packed_words(self) -> int:
@@ -79,12 +89,25 @@ def chunk_step(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (counts', n_valid_windows uint32)."""
     k, buf = config.k, config.buf
-    lengths = lengths.astype(jnp.int32)
-    starts = jnp.cumsum(lengths) - lengths  # exclusive prefix sum
-    valid = hashing.window_mask(starts, n_bases, k, buf)
-    n_valid = jnp.sum(valid.astype(jnp.uint32))
-
     lo, hi = hashing.rolling_kmer_hash_packed(packed, k)  # buf windows exactly
+    if config.read_len:
+        # fixed-length reads at stride L: valid windows are a static pattern
+        # (the first L-k+1 of each read's L positions) — slice them out
+        # instead of sorting masked-off slots (~20% of the array at 151 bp)
+        L = config.read_len
+        R, W = buf // L, L - k + 1
+        n_reads = n_bases // jnp.int32(L)
+        lo = lo[: R * L].reshape(R, L)[:, :W].reshape(R * W)
+        hi = hi[: R * L].reshape(R, L)[:, :W].reshape(R * W)
+        valid = (
+            lax.broadcasted_iota(jnp.int32, (R, W), 0) < n_reads
+        ).reshape(R * W)
+        n_valid = (n_reads * W).astype(jnp.uint32)
+    else:
+        lengths = lengths.astype(jnp.int32)
+        starts = jnp.cumsum(lengths) - lengths  # exclusive prefix sum
+        valid = hashing.window_mask(starts, n_bases, k, buf)
+        n_valid = jnp.sum(valid.astype(jnp.uint32))
     if config.probe == "stream":
         # revcomp queries ride the same sort + single table sweep
         q_lo, q_hi, q_valid = lo, hi, valid
@@ -145,6 +168,10 @@ def default_config(**kwargs) -> MapperConfig:
     kwargs.setdefault("probe", "stream" if on_tpu else "gather")
     if kwargs["probe"] == "stream":
         kwargs.setdefault("interpret", not on_tpu)
+        if on_tpu:
+            # round-3 composed sweep on v5e (64 Mi buffers): cap 2048/4096/8192
+            # measures 457/475/489 Mk/s ragged and 516/542/552 with read_len
+            kwargs.setdefault("stream_cap", 8192)
     # super_batch deliberately stays 1: measured on v5e, folding chunks into a
     # lax.scan costs ~15-20% (carry handling) — larger buffers amortize better
     return MapperConfig(**kwargs)
@@ -172,12 +199,24 @@ class KmerMapper:
         self._step = make_step(
             config, index.table.max_probe, index.table.seed, block_probe
         )
+        self._ragged_step = None  # lazy twin for chunks that break read_len
         self._stats: list[jnp.ndarray] = []  # per-chunk n_valid device scalars
         self._pending: list = []  # host-buffered chunks awaiting a super-batch
         self._total_kmers = 0
         self.n_invalid_bases = 0
         self._device = device
         self._hash_steps: dict = {}  # padded-length -> jitted map_hashes step
+
+    def _chunk_is_fixed(self, lengths, n_bases: int) -> bool:
+        """True iff the chunk is exactly n whole reads of config.read_len
+        (so the fixed-stride window slicing in chunk_step is valid)."""
+        L = self.config.read_len
+        nb = int(n_bases)
+        if nb % L:
+            return False
+        n = nb // L
+        lengths = np.asarray(lengths)
+        return bool(np.all(lengths[:n] == L)) and not np.any(lengths[n:])
 
     def reset_counts(self) -> None:
         """Zero the accumulated state so one device-resident table can serve
@@ -196,7 +235,22 @@ class KmerMapper:
     ) -> None:
         self.n_invalid_bases += n_invalid
         if self.config.super_batch == 1:
-            self.counts, n_valid = self._step(
+            step = self._step
+            if self.config.read_len and not self._chunk_is_fixed(lengths, n_bases):
+                # a chunk with off-length reads (mixed-length file, split long
+                # reads, ...) takes the ragged step; results are identical
+                if self._ragged_step is None:
+                    cfg = dataclasses.replace(self.config, read_len=0)
+                    self._ragged_step = make_step(
+                        cfg,
+                        self.index.table.max_probe,
+                        self.index.table.seed,
+                        self.index.table.block_max_probe()
+                        if cfg.probe == "stream"
+                        else None,
+                    )
+                step = self._ragged_step
+            self.counts, n_valid = step(
                 self.key_lo,
                 self.key_hi,
                 self.counts,

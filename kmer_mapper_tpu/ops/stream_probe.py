@@ -6,9 +6,10 @@ streaming — the shape TPUs are built for:
 1. Queries are sorted by bucket id (one multi-operand XLA sort; invalid
    windows get bucket 0xFFFFFFFF and fall off the end).
 2. a vectorized bisection finds each CHAIN_BLOCK-aligned table block's query
-   range, and a flat (tile -> block, DMA offset) schedule is precomputed.
+   range, and a flat (tile -> block, probe round, DMA offset) schedule is
+   precomputed.
 3. A Pallas kernel walks the table in ``coarse``-block grid steps
-   (auto-pipelined VMEM tiles) and runs ONE flat loop over each step's query
+   (auto-pipelined VMEM tiles) and runs ONE flat loop over scheduled query
    tiles — each block's **exact window** ``[start & ~127, end)`` in cap-sized
    pieces, each piece **one fused (4, cap) DMA** (bucket/lo/hi rows share the
    offset: one copy + one semaphore instead of three), issued several tiles
@@ -16,27 +17,41 @@ streaming — the shape TPUs are built for:
    arrays when it fits SMEM, else from an in-kernel scalar cursor (large
    tables). The per-query "gather" is a **one-hot matmul on the MXU**:
    ``table_bytesᵀ ⨯ one_hot(bucket)`` fetches each query's 8 candidate keys as
-   byte planes; the hit mask is pure VPU compares; a second matmul turns hits
-   into per-slot count contributions accumulated directly into the VMEM counts
-   tile. Queries sit on the MXU lane dimension throughout, so no transposes or
-   reshapes are needed (Mosaic supports neither on the minor dims).
+   byte planes; the hit mask is 3 packed-plane VPU compares; a second matmul
+   turns hits into per-slot count contributions accumulated directly into the
+   VMEM counts tile. Queries sit on the MXU lane dimension throughout, so no
+   transposes or reshapes are needed (Mosaic supports neither on the minor
+   dims).
 
-No gathers, no scatters, no host syncs: HBM sees only sequential streams. The
-measured v5e gather path costs ~6 ns/row; this path amortizes to the sort's
-cost per query. Collision chains wrap inside CHAIN_BLOCK-aligned blocks
-(``index/layout.py``), so tiles are self-contained; chain offsets are handled
-by circularly rolling the table tile and re-using the same one-hot matrix.
+Collision chains wrap inside CHAIN_BLOCK-aligned blocks (``index/layout.py``),
+so tiles are self-contained. Chain rounds are **scheduled, not branched**: a
+block whose build recorded probe depth L simply appears L times in the tile
+schedule, once per probe round p, and the kernel folds p into the one-hot
+(``(local_b + p) & (bpb - 1)``) — algebraically identical to rolling the table
+tile by p, with no ``lax.cond``/``jnp.roll`` in the body (a v2 dissection
+measured the uniform body at ~2x the cost of this structure). Chains are rare
+at the default load factor, so the extra scheduled tiles are a few percent.
+
+No gathers, no scatters, no host syncs: HBM sees only sequential streams.
+Per-tile costs measured on v5e (scripts/r3_iter_floor.py): loop control
+~18 ns, fused 4-deep DMA ~86 ns (overlapped), the VPU/MXU body dominates.
 
 Exactness: all matmul operands are exact in bfloat16 (one-hot 0/1, 8-bit key
 byte planes, hit flags — the MXU runs matmuls as single-pass bf16, which is
 why keys are split into bytes rather than 16-bit halves), accumulation is f32,
 and every sum either has a single nonzero term or is bounded by the query tile
-size, far below 2^24 — bit-exact by construction.
+size, far below 2^24 — bit-exact by construction. The 3-plane packed compare
+recombines gathered byte planes as b0 + 256*b1 + 65536*b2 < 2^24, exact in
+f32, so packed equality is equivalent to bytewise equality.
 
 Skew robustness: each block's query range is processed in whole cap-sized
-tiles with a data-dependent ``fori_loop`` trip count and position masking, so
-heavy duplicate kmers (e.g. poly-A after the reference's N->A substitution)
-simply take more iterations — no overflow or fallback cases.
+tiles with a data-dependent schedule length and position masking, so heavy
+duplicate kmers (e.g. poly-A after the reference's N->A substitution) simply
+take more scheduled tiles — no overflow or fallback cases.
+
+Role parity: this kernel implements the reference's entire probe loop
+(``kmer_mapper/mapper.pyx:53-69``) and the cucounter count kernel
+(``kmer_mapper/gpu_counter.py:23-24``) in one streaming pass.
 """
 from __future__ import annotations
 
@@ -54,22 +69,20 @@ from .u32hash import bucket_of
 
 INVALID_BUCKET = jnp.uint32(0xFFFFFFFF)
 DEFAULT_CAP = 1024  # queries per kernel tile. Standalone the kernel measures
-# faster at 2048 (34.3 vs 39.0 ms per 16.8M queries, v5e), but in the composed
-# chunk step — where XLA overlaps the next chunk's sort with the kernel —
-# 1024 wins decisively (305 vs 272 Mkmers/s); trust the in-context number.
+# faster at 2048, but in the composed chunk step 1024 wins decisively
+# (305 vs 272 Mkmers/s on the v2 kernel); trust the in-context number.
 DEFAULT_COARSE = 16  # chain blocks per grid step (amortizes grid-step overhead)
 N_DMA_SLOTS = 4  # query-tile DMA pipelining depth (issued n-1 tiles ahead)
 SMEM_I32_BUDGET = 200_000  # scalar-prefetch words that safely fit SMEM (1 MB)
-DEFAULT_SUB = 1  # adjacent chain blocks served by one tile iteration.
-# sub=2 measured SLOWER composed (247 vs 308 Mkmers/s): every tile of a
-# 2-block group evaluates both blocks' matmuls, and most tiles sit entirely
-# inside one block's range, so total masked matmul work grows faster than the
-# saved per-iteration control (~0.45 us vs ~0.26 us per block-matmul).
+PROBE_BITS = 3  # schedule entries pack (group << PROBE_BITS) | probe_round;
+# index/layout.py bounds chains at MAX_PROBE_LIMIT = 8 rounds, so 3 bits
 
 
 def sort_queries(q_lo, q_hi, valid, n_buckets: int, seed: int):
     """(sorted_bucket u32, sorted_lo, sorted_hi); invalid queries sort last.
-    Unstable sort: counting is order-insensitive within a bucket."""
+    Unstable sort: counting is order-insensitive within a bucket. Key width
+    does not matter (u16/u8 block keys measured no faster than u32 on v5e,
+    scripts/r3_sort_width.py)."""
     b = bucket_of(q_lo, q_hi, n_buckets, seed=seed, xp=jnp)
     b = jnp.where(valid, b, INVALID_BUCKET)
     return lax.sort((b, q_lo, q_hi), dimension=0, num_keys=1, is_stable=False)
@@ -134,53 +147,69 @@ def _table_bytes(key_lo, key_hi):
     return jnp.concatenate(_bytes8(key_lo, key_hi), axis=1)
 
 
+def _packed_query_planes(qlo, qhi):
+    """Query (lo, hi) uint32 -> 3 packed f32 planes matching _packed_gathered:
+    p0 = lo bytes 0-2, p1 = lo byte 3 + hi bytes 0-1, p2 = hi bytes 2-3.
+    Each < 2^24, exact in f32 (int32 intermediate: values < 2^24 fit)."""
+    u = jnp.uint32
+    p0 = (qlo & u(0xFFFFFF)).astype(jnp.int32).astype(jnp.float32)
+    p1 = ((qlo >> u(24)) | ((qhi & u(0xFFFF)) << u(8))).astype(jnp.int32).astype(jnp.float32)
+    p2 = (qhi >> u(16)).astype(jnp.int32).astype(jnp.float32)
+    return p0, p1, p2
+
+
+def _packed_gathered(gathered):
+    """(8K, cap) f32 byte planes -> 3 packed planes of (K, cap), same packing
+    as _packed_query_planes. Gathered values are exact bytes (each one-hot
+    column selects a single table row), so the packed sums are < 2^24."""
+    K = BUCKET_KEYS
+    g = [gathered[p * K : (p + 1) * K, :] for p in range(8)]
+    p0 = g[0] + 256.0 * g[1] + 65536.0 * g[2]
+    p1 = g[3] + 256.0 * g[4] + 65536.0 * g[5]
+    p2 = g[6] + 256.0 * g[7]
+    return p0, p1, p2
+
+
 ALIGN = 128  # DMA windows start on a lane-aligned query offset (<= cap)
 
 
 def _kernel(
-    off_ref,  # scalar-prefetch int32: [shard_base, off(n_blocks+1), block_probe(n_blocks), tile_bounds(n_steps+1), t_block(t_pad), t_off(t_pad)]
+    off_ref,  # scalar-prefetch int32: [shard_base, off(n_blocks+1), rounds(n_blocks), tile_bounds(n_steps+1), t_meta(t_pad), t_off(t_pad)]
     key_lo_ref,  # VMEM (coarse * BPB, K)
     key_hi_ref,
     counts_in_ref,  # VMEM (coarse * BPB, K) uint32, aliased with output
     q_hbm,  # ANY (4, n_padded) uint32: rows = sorted bucket / lo / hi / dead
     counts_out_ref,  # VMEM (coarse * BPB, K)
     q_s,  # scratch VMEM (n_slots, 4, cap) multi-buffered fused query tiles
+    tb_s,  # scratch VMEM (coarse * BPB, 8K) bf16: hoisted table byte planes
     sems,  # DMA semaphores (n_slots,)
     *,
     cap: int,
     bpb: int,
-    max_probe: int,
     n_blocks: int,
     coarse: int,
     t_pad: int,
     n_slots: int,
-    sub: int,
     use_meta: bool,
 ):
     """One grid step = ``coarse`` chain blocks, iterated as ONE flat fori_loop
-    over query tiles (a dissection measured ~0.9 us of pure loop-setup /
-    scalar overhead per chain block when each block ran its own inner loop —
-    ~15 ms per 16.8M queries — while the table byte-plane compute and the
-    one-hot materialization were ~free). A tile serves a GROUP of ``sub``
-    adjacent chain blocks — their query windows are contiguous in the sorted
-    array, so one DMA and one iteration's control work cover ``sub`` blocks,
-    while the gather matmul stays split per block (contraction dim bpb; a
-    single 2*bpb contraction measured slower).
+    over scheduled (block, probe round) query tiles. The table byte planes for
+    the whole step are computed once into ``tb_s`` (the v2 kernel recomputed
+    them per tile — a measurable share of its ~995 ns/tile).
 
-    Two schedule modes: with ``use_meta`` the flat tile -> (group, DMA offset)
-    schedule is precomputed on the XLA side into scalar-prefetch arrays
-    (``t_pad`` entries each), so an iteration does a handful of SMEM reads and
-    the fused DMA can be issued ``n_slots - 1`` tiles ahead across group
-    boundaries. For large tables those arrays would overflow SMEM (~1 MB), so
-    the fallback derives the (group, tile) cursor with a scalar while_loop and
-    double-buffers one tile ahead (~1% slower at the production config)."""
+    Two schedule modes: with ``use_meta`` the flat tile -> (group, round, DMA
+    offset) schedule is precomputed on the XLA side into scalar-prefetch
+    arrays (``t_pad`` entries each), so an iteration does a handful of SMEM
+    reads and the fused DMA can be issued ``n_slots - 1`` tiles ahead across
+    group boundaries. For large tables those arrays would overflow SMEM
+    (~1 MB), so the fallback derives (group, round, tile) with a scalar
+    while_loop cursor and double-buffers one tile ahead."""
     ci = pl.program_id(0)
     counts_out_ref[...] = counts_in_ref[...]
+    tb_s[...] = _table_bytes(key_lo_ref[...], key_hi_ref[...]).astype(jnp.bfloat16)
     rows = lax.broadcasted_iota(jnp.int32, (bpb, cap), 0)
     lane_pos = lax.broadcasted_iota(jnp.int32, (1, cap), 1)
-    K = BUCKET_KEYS
     n_steps = n_blocks // coarse
-    n_local_groups = coarse // sub
     t_lo = off_ref[2 * n_blocks + 2 + ci]
     t_hi = off_ref[2 * n_blocks + 2 + ci + 1]
     meta0 = 2 * n_blocks + 2 + n_steps + 1
@@ -188,8 +217,8 @@ def _kernel(
 
     def group_window(grp):
         """(start, end, base, n_tiles) of group ``grp``'s query window."""
-        start = off_ref[grp * sub + 1]
-        end = off_ref[grp * sub + sub + 1]
+        start = off_ref[grp + 1]
+        end = off_ref[grp + 2]
         base = start & ~jnp.int32(align - 1)
         n_tiles = lax.select(
             end > start, (end - base + jnp.int32(cap - 1)) // cap, jnp.int32(0)
@@ -205,29 +234,35 @@ def _kernel(
         )
 
     if use_meta:
-        def tile_meta(t):
-            return off_ref[meta0 + t], off_ref[meta0 + t_pad + t]
-
         for w in range(n_slots - 1):
             @pl.when(t_lo + w < t_hi)
             def _(w=w):
-                dma_at(tile_meta(t_lo + w)[1], w % n_slots).start()
+                dma_at(off_ref[meta0 + t_pad + t_lo + w], w % n_slots).start()
     else:
-        g_hi = (ci + 1) * n_local_groups
+        g_hi = (ci + 1) * coarse
 
-        def advance(grp, j):
-            # skip to the next group that still has tile j to process
+        def sched_len(grp):
+            # scheduled entries for a group: tiles x probe rounds
+            return group_window(grp)[3] * off_ref[n_blocks + 2 + grp]
+
+        def advance(grp, e):
+            # skip to the next group that still has schedule entry e
             def cond(c):
-                grp, j = c
-                return (grp < g_hi) & (j >= group_window(grp)[3])
+                grp, e = c
+                return (grp < g_hi) & (e >= sched_len(grp))
 
-            return lax.while_loop(cond, lambda c: (c[0] + 1, jnp.int32(0)), (grp, j))
+            return lax.while_loop(cond, lambda c: (c[0] + 1, jnp.int32(0)), (grp, e))
 
-        g0, j0 = advance(ci * n_local_groups, jnp.int32(0))
+        def entry_off(grp, e):
+            _, _, base, n_tiles = group_window(grp)
+            j = lax.rem(e, jnp.maximum(n_tiles, 1))
+            return base + j * cap
+
+        g0, e0 = advance(ci * coarse, jnp.int32(0))
 
         @pl.when(t_hi > t_lo)
         def _():
-            dma_at(group_window(g0)[2] + j0 * cap, 0).start()
+            dma_at(entry_off(g0, e0), 0).start()
 
     def body(ti, carry):
         t = t_lo + ti
@@ -236,87 +271,68 @@ def _kernel(
             @pl.when(ti + n_slots - 1 < t_hi - t_lo)
             def _():
                 dma_at(
-                    tile_meta(t + n_slots - 1)[1], (ti + n_slots - 1) % n_slots
+                    off_ref[meta0 + t_pad + t + n_slots - 1],
+                    (ti + n_slots - 1) % n_slots,
                 ).start()
 
-            grp, base_j = tile_meta(t)  # group id, DMA offset = base + j*cap
+            m = off_ref[meta0 + t]
+            grp = m >> PROBE_BITS
+            p = m & ((1 << PROBE_BITS) - 1)
+            base_j = off_ref[meta0 + t_pad + t]
         else:
-            grp, j = carry
-            gn, jn = advance(grp, j + 1)
+            grp, e = carry
+            gn, en = advance(grp, e + 1)
 
             @pl.when(ti + 1 < t_hi - t_lo)
             def _():
-                dma_at(group_window(gn)[2] + jn * cap, (ti + 1) % n_slots).start()
+                dma_at(entry_off(gn, en), (ti + 1) % n_slots).start()
 
-            base_j = group_window(grp)[2] + j * cap
+            _, _, base, n_tiles = group_window(grp)
+            nt = jnp.maximum(n_tiles, 1)
+            p = e // nt
+            base_j = base + lax.rem(e, nt) * cap
         dma_at(base_j, slot).wait()
+        start = off_ref[grp + 1]
+        end = off_ref[grp + 2]
+        base_bucket = off_ref[0] + grp * bpb  # off_ref[0] = shard base
         pos = base_j + lane_pos  # (1, cap)
         qb = q_s[slot, 0:1, :].astype(jnp.int32)
-        qh = _bytes8(q_s[slot, 1:2, :], q_s[slot, 2:3, :])  # 8 x (1, cap)
-        contribs = []
-        for b in range(sub):
-            g = grp * sub + b
-            start = off_ref[g + 1]
-            end = off_ref[g + 2]
-            probe_limit = off_ref[n_blocks + 2 + g]  # per-block chain bound
-            base_bucket = off_ref[0] + g * bpb  # off_ref[0] = shard base
-            row0 = pl.multiple_of((g - ci * coarse) * bpb, bpb)
-            tb = _table_bytes(
-                key_lo_ref[pl.ds(row0, bpb), :],
-                key_hi_ref[pl.ds(row0, bpb), :],
-            ).astype(jnp.bfloat16)  # (BPB, 8K)
-            live = (pos >= start) & (pos < end)
-            local_b = qb - base_bucket  # (1, cap)
-            live = live & (local_b >= 0) & (local_b < bpb)
-            # one-hot with queries on the lane dim: (bpb, cap); bf16 operands
-            # are exact for 0/1 and byte values; the MXU runs bf16 single-pass
-            one_hot = ((rows == local_b) & live).astype(jnp.bfloat16)
-
-            def probe_round(p, contrib, tb=tb, one_hot=one_hot, live=live):
-                tbp = tb if p == 0 else jnp.roll(tb, -p, axis=0)
-                # per-query candidate key bytes: (8K, cap) = tbpᵀ ⨯ one_hot
-                gathered = lax.dot_general(
-                    tbp,
-                    one_hot,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                hits = live
-                for plane in range(8):
-                    hits = hits & (
-                        gathered[plane * K : (plane + 1) * K, :] == qh[plane]
-                    )
-                hits_in = hits.astype(jnp.bfloat16)
-                c = lax.dot_general(
-                    one_hot,
-                    hits_in,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (bpb, K)
-                return contrib + (c if p == 0 else jnp.roll(c, p, axis=0))
-
-            contrib = probe_round(0, jnp.zeros((bpb, K), dtype=jnp.float32))
-            for p in range(1, max_probe):
-                # chains are rare: skip extra rounds for chain-free blocks
-                contrib = lax.cond(
-                    p < probe_limit,
-                    functools.partial(probe_round, p),
-                    lambda c: c,
-                    contrib,
-                )
-            contribs.append(contrib)
-        # the group's blocks are adjacent rows: one read-modify-write
-        grow0 = pl.multiple_of((grp * sub - ci * coarse) * bpb, sub * bpb)
-        full = contribs[0] if sub == 1 else jnp.concatenate(contribs, axis=0)
-        counts_out_ref[pl.ds(grow0, sub * bpb), :] = counts_out_ref[
-            pl.ds(grow0, sub * bpb), :
-        ] + full.astype(jnp.int32).astype(jnp.uint32)
-        return 0 if use_meta else (gn, jn)
+        live = (pos >= start) & (pos < end)
+        local_b = qb - base_bucket  # (1, cap)
+        live = live & (local_b >= 0) & (local_b < bpb)
+        # probe round p folded into the one-hot: comparing against row
+        # (local_b + p) mod bpb gathers the chained bucket's keys AND lands
+        # the count contribution on that same chained row — identical to
+        # rolling the table tile by p, without any roll
+        local_bp = (local_b + p) & jnp.int32(bpb - 1)
+        one_hot = ((rows == local_bp) & live).astype(jnp.bfloat16)
+        row0 = pl.multiple_of((grp - ci * coarse) * bpb, bpb)
+        tb = tb_s[pl.ds(row0, bpb), :]
+        # per-query candidate key bytes: (8K, cap) = tbᵀ ⨯ one_hot
+        gathered = lax.dot_general(
+            tb,
+            one_hot,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        gp0, gp1, gp2 = _packed_gathered(gathered)
+        qp0, qp1, qp2 = _packed_query_planes(q_s[slot, 1:2, :], q_s[slot, 2:3, :])
+        hits = live & (gp0 == qp0) & (gp1 == qp1) & (gp2 == qp2)
+        c = lax.dot_general(
+            one_hot,
+            hits.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bpb, K)
+        counts_out_ref[pl.ds(row0, bpb), :] = counts_out_ref[
+            pl.ds(row0, bpb), :
+        ] + c.astype(jnp.int32).astype(jnp.uint32)
+        return 0 if use_meta else (gn, en)
 
     if use_meta:
         lax.fori_loop(0, t_hi - t_lo, body, 0)
     else:
-        lax.fori_loop(0, t_hi - t_lo, body, (g0, j0))
+        lax.fori_loop(0, t_hi - t_lo, body, (g0, e0))
 
 
 def stream_count(
@@ -334,14 +350,13 @@ def stream_count(
     chain_block: int | None = None,  # build-time chain block (global tables: auto)
     block_probe=None,  # int32[n_blocks] per-block chain bound (None: max_probe)
     coarse: int = DEFAULT_COARSE,  # chain blocks folded into one grid step
-    sub: int = DEFAULT_SUB,  # adjacent blocks sharing one tile iteration
 ) -> jnp.ndarray:
     """counts += histogram of table hits among the sorted queries.
 
     ``key_lo``/``key_hi``/``counts`` may be a shard of a larger table; pass
     the shard's ``bucket_base`` and the build-time ``chain_block``
     (= min(CHAIN_BLOCK, n_buckets_global)); shard sizes must be chain-block
-    multiples so tile rolls reproduce the build's chain wrapping."""
+    multiples so the in-kernel chain wrap reproduces the build's wrapping."""
     n_local = key_lo.shape[0]
     bpb = min(CHAIN_BLOCK, n_local) if chain_block is None else chain_block
     assert n_local % bpb == 0, "table shard must be a multiple of the chain block"
@@ -352,9 +367,6 @@ def stream_count(
     coarse = max(1, min(coarse, n_blocks))
     while n_blocks % coarse:
         coarse //= 2
-    sub = max(1, min(sub, coarse))
-    while coarse % sub:
-        sub //= 2
     n = sorted_b.shape[0]
     # tail padding: the last window may extend past n by up to cap
     pad = (-n) % cap + cap
@@ -366,11 +378,22 @@ def stream_count(
     q = jnp.stack([sorted_b, sorted_lo, sorted_hi, sorted_hi])  # (4, n_padded)
     counts2d = counts.reshape(n_local, BUCKET_KEYS)
 
+    if block_probe is None:
+        rounds = jnp.full(n_blocks, max_probe, dtype=jnp.int32)
+        max_rounds = max_probe
+    else:
+        rounds = jnp.asarray(block_probe, dtype=jnp.int32)
+        # static bound on scheduled rounds per block, for the SMEM budget
+        if isinstance(block_probe, jax.core.Tracer):
+            max_rounds = max_probe
+        else:
+            max_rounds = max(1, int(np.asarray(block_probe).max(initial=1)))
+    max_rounds = min(max_rounds, 1 << PROBE_BITS)
+
     # scalar-prefetch operands live in SMEM (~1 MB): the per-tile schedule
     # arrays only fit for small/medium tables; large tables use the in-kernel
-    # while-cursor schedule (measured ~1% slower at the production config)
-    n_groups = n_blocks // sub
-    t_pad = (n + pad) // cap + n_groups  # static bound on total tiles
+    # while-cursor schedule
+    t_pad = max_rounds * ((n + pad) // cap + n_blocks)  # static schedule bound
     base_len = 2 * n_blocks + 2 + n_blocks // coarse + 1
     use_meta = base_len + 2 * t_pad <= SMEM_I32_BUDGET
     if not use_meta and base_len > SMEM_I32_BUDGET:
@@ -393,46 +416,48 @@ def stream_count(
         out_specs=pl.BlockSpec((coarse * bpb, BUCKET_KEYS), lambda i, off: (i, 0)),
         scratch_shapes=[
             pltpu.VMEM((n_slots, 4, cap), jnp.uint32),
+            pltpu.VMEM((coarse * bpb, 8 * BUCKET_KEYS), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((n_slots,)),
         ],
     )
-    if block_probe is None:
-        block_probe = jnp.full(n_blocks, max_probe, dtype=jnp.int32)
-    # flat tile schedule (the kernel runs one flat loop over each grid step's
-    # tiles; a tile serves a group of ``sub`` adjacent blocks): per-group tile
-    # counts -> cumulative bounds at coarse boundaries, plus per-tile
-    # (group id, DMA offset) scalar-prefetch arrays
+    # flat schedule: one entry per (block, probe round, cap-sized tile); a
+    # block whose chain bound is L appears L times over its query window.
+    # Entries pack (group << PROBE_BITS) | p; DMA offsets are precomputed.
     align = min(ALIGN, cap)
-    g_starts = off[0 : n_blocks : sub]
-    g_ends = off[sub : n_blocks + 1 : sub]
+    g_starts = off[:-1]
+    g_ends = off[1:]
     bases = g_starts & ~jnp.int32(align - 1)
     n_tiles_g = jnp.where(
         g_ends > g_starts, (g_ends - bases + jnp.int32(cap - 1)) // cap, jnp.int32(0)
     )
+    rounds = jnp.clip(rounds, 1, max_rounds)
+    n_sched_g = n_tiles_g * rounds
     csum = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(n_tiles_g, dtype=jnp.int32)]
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(n_sched_g, dtype=jnp.int32)]
     )
-    tile_bounds = csum[:: coarse // sub]  # (n_blocks // coarse + 1,)
+    tile_bounds = csum[::coarse]  # (n_blocks // coarse + 1,)
     parts = [
         jnp.asarray(bucket_base, dtype=jnp.int32).reshape(1),
         off,
-        jnp.asarray(block_probe, dtype=jnp.int32),
+        rounds,
         tile_bounds,
     ]
     if use_meta:
-        # t_group[t] = group of flat tile t (boundary scatter + cumsum)
-        t_group = jnp.cumsum(
+        # t_grp[t] = group of schedule entry t (boundary scatter + cumsum)
+        t_grp = jnp.cumsum(
             jnp.zeros(t_pad, jnp.int32).at[csum[1:]].add(1, mode="drop")
         )
-        t_in_group = (
-            jnp.arange(t_pad, dtype=jnp.int32) - csum[jnp.minimum(t_group, n_groups)]
-        )
-        t_off = bases[jnp.minimum(t_group, n_groups - 1)] + t_in_group * jnp.int32(cap)
-        parts += [t_group, t_off]
+        safe = jnp.minimum(t_grp, n_blocks - 1)
+        r = jnp.arange(t_pad, dtype=jnp.int32) - csum[jnp.minimum(t_grp, n_blocks)]
+        nt = jnp.maximum(n_tiles_g[safe], 1)
+        p = jnp.minimum(r // nt, max_rounds - 1)
+        t_meta = (safe << PROBE_BITS) | p
+        t_off = bases[safe] + (r - p * nt) * jnp.int32(cap)
+        parts += [t_meta, t_off]
     scalars = jnp.concatenate(parts)
     kernel = functools.partial(
-        _kernel, cap=cap, bpb=bpb, max_probe=max_probe, n_blocks=n_blocks,
-        coarse=coarse, t_pad=t_pad, n_slots=n_slots, sub=sub, use_meta=use_meta,
+        _kernel, cap=cap, bpb=bpb, n_blocks=n_blocks,
+        coarse=coarse, t_pad=t_pad, n_slots=n_slots, use_meta=use_meta,
     )
     out = pl.pallas_call(
         kernel,

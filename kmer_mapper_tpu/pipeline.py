@@ -187,21 +187,40 @@ def make_mapper_and_chunks(
 ) -> tuple[KmerMapper, Iterable]:
     """Build the device mapper plus the packed host chunk iterator.
 
-    The device buffer is at least 16 Mi bases regardless of ``chunk_size``
+    The device buffer is at least 32 Mi bases regardless of ``chunk_size``
     (the reference's 2.5 MB default is a CPU-pool tuning knob; on TPU, larger
-    fixed-shape buffers amortize per-block kernel and dispatch costs --
-    measured ~10% faster than 4 Mi buffers on v5e). On CPU (tests/fallback)
-    the buffer follows chunk_size directly."""
+    fixed-shape buffers amortize per-block kernel and dispatch costs — the
+    round-3 sweep measured 16/32/64 Mi at 345/413/435 Mkmers/s on v5e). On CPU
+    (tests/fallback) the buffer follows chunk_size directly.
+
+    If the first chunk consists of uniform-length reads (the Illumina case),
+    the step compiles with ``read_len`` set: the k-1 dead window slots per
+    read are sliced away before the sort instead of masked through it (~20%
+    of the array at 151 bp). Later non-uniform chunks take a ragged twin
+    step with identical results."""
     buf = _round_up(min(max(chunk_size, _buf_floor()), 64 << 20), 1 << 13)
-    config = default_config(
+    make_config = lambda read_len: default_config(  # noqa: E731
         k=k,
         buf=buf,
         max_reads=max(1024, buf // 32),
         revcomp=map_reverse_complements,
         accumulate=accumulate,
+        read_len=read_len,
     )
-    mapper = KmerMapper(index, config, device=device)
-    return mapper, packed_chunk_iterator(reads_path, config, chunk_size)
+    chunks = iter(packed_chunk_iterator(reads_path, make_config(0), chunk_size))
+    first = next(chunks, None)
+    read_len = 0
+    if first is not None:
+        _, lengths, n_bases, n_reads, _ = first
+        L = int(lengths[0]) if n_reads else 0
+        if L >= k and n_bases == n_reads * L and np.all(lengths[:n_reads] == L):
+            read_len = L
+    mapper = KmerMapper(index, make_config(read_len), device=device)
+    if first is None:
+        return mapper, iter(())
+    import itertools
+
+    return mapper, itertools.chain([first], chunks)
 
 
 def packed_chunk_iterator(reads_path: str, config: MapperConfig, chunk_size: int):
@@ -308,7 +327,10 @@ def map_sequences(
 def _buf_floor() -> int:
     import jax
 
-    return 16 << 20 if jax.default_backend() == "tpu" else 1 << 16
+    # 32 Mi measured +20% over 16 Mi on v5e (r3 sweep); 64 Mi gains ~5% more
+    # but doubles host buffer latency per chunk — keep the floor at 32 Mi and
+    # let --chunk-size raise it
+    return 32 << 20 if jax.default_backend() == "tpu" else 1 << 16
 
 
 def _round_up(x: int, m: int) -> int:

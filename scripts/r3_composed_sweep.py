@@ -58,7 +58,7 @@ def entry_kmers_for(chunk):
     )
 
 
-def run_config(max_load, buf, entry, chunks):
+def run_config(max_load, buf, entry, chunks, cap=0, coarse=0):
     t = time.perf_counter()
     nodes = rng.integers(0, 3_000_000, len(entry)).astype(np.int32)
     index = ki.TpuKmerIndex.from_entries(entry, nodes, max_load=max_load)
@@ -70,7 +70,16 @@ def run_config(max_load, buf, entry, chunks):
         f"chained_blocks={int((bp > 1).sum())}/{len(bp)} "
         f"built {time.perf_counter() - t:.1f}s"
     )
-    config = MapperConfig(k=K, buf=buf, max_reads=buf // 64, probe="stream")
+    from kmer_mapper_tpu.ops import stream_probe
+
+    import os
+
+    if coarse:
+        stream_probe.DEFAULT_COARSE = coarse
+    config = MapperConfig(
+        k=K, buf=buf, max_reads=buf // 64, probe="stream", stream_cap=cap,
+        read_len=READ_LEN if os.environ.get("RLEN") else 0,
+    )
     packed = [
         next(iter(pack_for_device(iter([c]), config.buf, config.max_reads, K)))
         for c in chunks
@@ -115,11 +124,19 @@ def run_config(max_load, buf, entry, chunks):
 def main():
     chunks16 = [make_read_chunk(16 << 20) for _ in range(3)]
     entry = entry_kmers_for(chunks16[0])
-    for max_load, buf in ((0.3, 16 << 20), (0.5, 16 << 20), (0.9, 16 << 20),
-                          (0.5, 32 << 20)):
+    import os
+
+    grid = os.environ.get(
+        "SWEEP", "0.3:16,0.5:16,0.9:16,0.5:32"
+    )  # "load:bufMi[:cap[:coarse]],..." e.g. SWEEP=0.5:64:2048,0.5:64:1024:32
+    for spec in grid.split(","):
+        fields = spec.split(":")
+        max_load, buf = float(fields[0]), int(fields[1]) << 20
+        cap = int(fields[2]) if len(fields) > 2 else 0
+        coarse = int(fields[3]) if len(fields) > 3 else 0
         chunks = chunks16 if buf == 16 << 20 else [make_read_chunk(buf) for _ in range(2)]
         try:
-            run_config(max_load, buf, entry, chunks)
+            run_config(max_load, buf, entry, chunks, cap=cap, coarse=coarse)
         except Exception as e:  # noqa: BLE001
             log(f"load={max_load} buf={buf >> 20}Mi FAILED: {type(e).__name__}: {str(e)[:300]}")
 

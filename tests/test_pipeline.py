@@ -266,3 +266,41 @@ def test_strict_bases_raises(tmp_path):
         ki.TpuKmerIndex.from_arrays(arrays_n), path_n, k=5, strict_bases=True, progress=False
     )
     np.testing.assert_array_equal(got_n, _oracle_counts(arrays_n, reads_n, 5))
+
+
+def test_map_file_uniform_reads_picks_fixed_read_len(tmp_path):
+    """Uniform-length reads (the Illumina case) auto-select the fixed
+    read_len step; counts stay bit-exact vs the oracle."""
+    rng = np.random.default_rng(41)
+    k, L = 9, 40
+    reads = ["".join(rng.choice(list("ACGT"), L)) for _ in range(150)]
+    arrays = _index_from_reads(rng, reads, k)
+    index = ki.TpuKmerIndex.from_arrays(arrays)
+    reads_path = _write_fasta(tmp_path / "uniform.fa", reads)
+    mapper, chunks = pipeline.make_mapper_and_chunks(
+        index, reads_path, k=k, chunk_size=1 << 14,
+        map_reverse_complements=False, accumulate="scatter",
+    )
+    assert mapper.config.read_len == L
+    for packed, lengths, n_bases, _, n_invalid in chunks:
+        mapper.map_chunk(packed, lengths, n_bases, n_invalid)
+    assert mapper._ragged_step is None  # every chunk took the fast path
+    np.testing.assert_array_equal(
+        mapper.node_counts(), _oracle_counts(arrays, reads, k)
+    )
+
+
+def test_map_file_mixed_reads_stays_ragged(tmp_path):
+    rng = np.random.default_rng(42)
+    k = 9
+    reads = _make_reads(rng, n=100)
+    arrays = _index_from_reads(rng, reads, k)
+    index = ki.TpuKmerIndex.from_arrays(arrays)
+    reads_path = _write_fasta(tmp_path / "mixed.fa", reads)
+    mapper, _ = pipeline.make_mapper_and_chunks(
+        index, reads_path, k=k, chunk_size=1 << 14,
+        map_reverse_complements=False, accumulate="scatter",
+    )
+    assert mapper.config.read_len == 0
+    got = pipeline.map_file(index, reads_path, k=k, chunk_size=1 << 14)
+    np.testing.assert_array_equal(got, _oracle_counts(arrays, reads, k))

@@ -213,3 +213,68 @@ def test_cursor_schedule_fallback_matches_meta(monkeypatch):
     monkeypatch.setattr(sp, "SMEM_I32_BUDGET", 200)  # force cursor mode
     cursor = _run_stream(table, queries, valid, cap=256)
     np.testing.assert_array_equal(meta, cursor)
+
+
+@pytest.mark.parametrize("probe_mode", ["stream", "gather"])
+@pytest.mark.parametrize("revcomp", [False, True])
+def test_chunk_step_fixed_read_len_matches_ragged(probe_mode, revcomp):
+    """config.read_len slices the static valid-window pattern instead of
+    masking; counts must be identical to the ragged step and the oracle."""
+    rng = np.random.default_rng(11)
+    k, L, n_reads = 9, 37, 70
+    reads = ["".join(rng.choice(list("ACGT"), L)) for _ in range(n_reads)]
+    read_codes = [oracle.encode_string(r) for r in reads]
+    fwd = oracle.kmer_hashes_ragged(
+        np.concatenate(read_codes), np.full(n_reads, L), k
+    )
+    pool = np.concatenate([fwd, oracle.revcomp_hash(fwd, k)])
+    entry_kmers = np.concatenate(
+        [rng.choice(pool, 120), rng.integers(0, 4**k, 50, dtype=np.uint64)]
+    )
+    nodes = rng.integers(0, 70, len(entry_kmers)).astype(np.int32)
+    arrays = oracle.build_kmer_index(entry_kmers, nodes, 997)
+    tpu = ki.TpuKmerIndex.from_arrays(arrays)
+
+    kw = dict(k=k, buf=4096, max_reads=256, revcomp=revcomp,
+              probe=probe_mode, interpret=probe_mode == "stream")
+    fixed = KmerMapper(tpu, MapperConfig(read_len=L, **kw))
+    fixed.map_chunk(*_pack_reads(reads, fixed.config))
+    ragged = KmerMapper(tpu, MapperConfig(**kw))
+    ragged.map_chunk(*_pack_reads(reads, ragged.config))
+
+    queries = np.concatenate([fwd, oracle.revcomp_hash(fwd, k)]) if revcomp else fwd
+    expect = oracle.map_kmers_to_index(arrays, queries)
+    np.testing.assert_array_equal(fixed.node_counts(), expect)
+    np.testing.assert_array_equal(ragged.node_counts(), expect)
+    assert fixed.n_kmers_mapped == ragged.n_kmers_mapped == len(fwd)
+
+
+def test_fixed_read_len_falls_back_on_ragged_chunk():
+    """A chunk whose reads are not uniformly read_len long must take the
+    ragged twin step and still count exactly."""
+    rng = np.random.default_rng(12)
+    k, L = 9, 31
+    uniform = ["".join(rng.choice(list("ACGT"), L)) for _ in range(20)]
+    ragged = ["".join(rng.choice(list("ACGT"), rng.integers(12, 60)))
+              for _ in range(20)]
+    all_reads = uniform + ragged
+    codes = [oracle.encode_string(r) for r in all_reads]
+    fwd = oracle.kmer_hashes_ragged(
+        np.concatenate(codes), np.array([len(r) for r in all_reads]), k
+    )
+    entry_kmers = np.concatenate(
+        [rng.choice(fwd, 80), rng.integers(0, 4**k, 40, dtype=np.uint64)]
+    )
+    nodes = rng.integers(0, 50, len(entry_kmers)).astype(np.int32)
+    arrays = oracle.build_kmer_index(entry_kmers, nodes, 499)
+    tpu = ki.TpuKmerIndex.from_arrays(arrays)
+
+    config = MapperConfig(k=k, buf=4096, max_reads=128, read_len=L,
+                          probe="stream", interpret=True)
+    mapper = KmerMapper(tpu, config)
+    mapper.map_chunk(*_pack_reads(uniform, config))  # fixed fast path
+    mapper.map_chunk(*_pack_reads(ragged, config))  # fallback twin
+    assert mapper._ragged_step is not None
+    expect = oracle.map_kmers_to_index(arrays, fwd)
+    np.testing.assert_array_equal(mapper.node_counts(), expect)
+    assert mapper.n_kmers_mapped == len(fwd)
