@@ -6,12 +6,16 @@ synthetic 4M-unique-kmer index, steady-state, on whatever accelerator JAX
 provides (the driver runs this on a real TPU chip).
 
 Methodology: the measured window is ONE jitted executable chaining STEPS
-chunk steps over device-resident packed chunks (counts donated, in-place).
-One dispatch + one scalar fetch per window makes the measurement insensitive
-to dispatch-service and host->device tunnel latency, which produced 50%
-window-to-window swings in earlier runs (this environment's host<->device
-link is ~100x slower than a real TPU VM's PCIe; streaming-feed rates are
-logged to stderr for reference). The baseline is the reference CPU path's
+chunk steps over STEPS DISTINCT device-resident packed chunks (counts
+donated, in-place). One dispatch + one scalar fetch per window makes the
+measurement insensitive to dispatch-service and host->device tunnel latency,
+which produced 50% window-to-window swings in earlier runs (this
+environment's host<->device link is ~100x slower than a real TPU VM's PCIe;
+streaming-feed rates are logged to stderr for reference). Every chunk in the
+window MUST be distinct: with repeated chunks XLA CSE dedupes the pure
+sort/hash subgraphs and the window only pays them once per distinct chunk —
+round 2's windows cycled 3 chunks and over-reported steady state by ~2.2x
+(r3_true_window.py: 550/418/189 Mkmers/s at 2/3/8 distinct chunks). The baseline is the reference CPU path's
 semantics measured as the vectorized numpy oracle on this host, scaled to the
 reference's default 16 worker threads (``command_line_interface.py:168``) —
 the reference publishes no numbers of its own (BASELINE.md).
@@ -34,9 +38,9 @@ def log(msg):
 
 K = 31
 READ_LEN = 151
-BUF = 64 << 20  # 64 Mi bases per chunk (round-3 sweep optimum on v5e;
-# 16/32/64 Mi measure 345/413/457 Mk/s ragged — larger buffers amortize the
-# per-block tile floor; 128 Mi plateaus)
+BUF = 16 << 20  # 16 Mi bases per chunk: the CSE-free sweep optimum on v5e
+# (16/32/64 Mi measure 286/260/253 Mk/s with the mixed-key 2-operand sort —
+# the sort's n log n factor now favors smaller chunks)
 N_UNIQUE = 4_000_000
 STEPS = 8  # chunk steps chained inside one jitted window
 N_WINDOWS = 4
@@ -68,7 +72,7 @@ def main():
     rng = np.random.default_rng(0)
 
     # --- synthetic data: index keys drawn ~50% from actual read kmers -------
-    chunks = [make_read_chunk(rng, BUF) for _ in range(3)]
+    chunks = [make_read_chunk(rng, BUF) for _ in range(STEPS)]
     t = time.perf_counter()
     sample_codes = oracle.encode_bytes(chunks[0].bases[: READ_LEN * 5000])
     sample_kmers = oracle.kmer_hashes(sample_codes, K)
@@ -113,7 +117,7 @@ def main():
     def window(key_lo, key_hi, counts, resident):
         total = jnp.uint32(0)
         for i in range(STEPS):
-            p, ln, nb = resident[i % len(resident)]
+            p, ln, nb = resident[i]  # distinct chunks — see methodology note
             counts, n_valid = step(key_lo, key_hi, counts, p, ln, nb)
             total = total + n_valid
         return counts, total

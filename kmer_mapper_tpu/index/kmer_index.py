@@ -186,17 +186,20 @@ class TpuKmerIndex:
         return self.entry_node[self.entry_slot == slot]
 
     def kmer_counts(self, slot_counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """(unique_kmers_in_slot_order, counts) — the counter view."""
-        lo, hi = self.table.key_words()
-        occupied = ~((lo == layout.EMPTY) & (hi == layout.EMPTY))
-        kmers = lo.astype(np.uint64) | (hi.astype(np.uint64) << np.uint64(32))
+        """(unique_kmers_in_slot_order, counts) — the counter view. Stored
+        table words are bijectively mixed; unmix recovers the raw kmers."""
+        from ..ops.u32hash import feistel_unmix, join_u64
+
+        m_lo, m_hi = self.table.key_words()
+        occupied = ~((m_lo == layout.EMPTY) & (m_hi == layout.EMPTY))
+        lo, hi = feistel_unmix(m_lo, m_hi, seed=self.table.seed)
         counts = np.asarray(slot_counts).reshape(-1)
-        return kmers[occupied], counts[occupied]
+        return join_u64(lo, hi)[occupied], counts[occupied]
 
     def to_file(self, path) -> None:
         np.savez(
             path,
-            format=np.array(["tpuidx-v3"]),
+            format=np.array(["tpuidx-v4"]),
             table_key_lo=self.table.key_lo,
             table_key_hi=self.table.key_hi,
             table_max_probe=np.int64(self.table.max_probe),
@@ -212,10 +215,11 @@ class TpuKmerIndex:
     def from_file(cls, path_or_file) -> "TpuKmerIndex":
         with np.load(path_or_file, allow_pickle=False) as data:
             fmt = str(data["format"][0]) if "format" in data else "?"
-            if fmt != "tpuidx-v3":
+            if fmt != "tpuidx-v4":
                 raise ValueError(
                     f"unsupported .tpuidx format {fmt!r} (this build reads "
-                    "tpuidx-v3; re-run convert-index on the source .npz)"
+                    "tpuidx-v4, which stores mixed table words; re-run "
+                    "convert-index on the source .npz)"
                 )
             key_lo = data["table_key_lo"]
             table = layout.TableArrays(

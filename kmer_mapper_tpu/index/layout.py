@@ -30,7 +30,7 @@ import logging
 
 import numpy as np
 
-from ..ops.u32hash import bucket_of, split_u64
+from ..ops.u32hash import bucket_shift, feistel_mix, split_u64
 
 logger = logging.getLogger(__name__)
 
@@ -45,10 +45,16 @@ MAX_PROBE_LIMIT = 8  # rebuild bigger if a chain would exceed this
 
 @dataclasses.dataclass
 class TableArrays:
-    """Host-side arrays of the table (moved to device verbatim)."""
+    """Host-side arrays of the table (moved to device verbatim).
 
-    key_lo: np.ndarray  # uint32[n_buckets, BUCKET_KEYS]
-    key_hi: np.ndarray  # uint32[n_buckets, BUCKET_KEYS]
+    Slots store the **bijectively mixed** key words (``u32hash.feistel_mix``),
+    not the raw kmer: equality of mixed words is equality of kmers, the bucket
+    id is ``key_lo >> bucket_shift(n_buckets)``, and queries sort by their
+    mixed low word alone (2 sort operands instead of 3 — see u32hash docs).
+    ``key_words``/``kmer view`` callers unmix on the host."""
+
+    key_lo: np.ndarray  # uint32[n_buckets, BUCKET_KEYS] (mixed)
+    key_hi: np.ndarray  # uint32[n_buckets, BUCKET_KEYS] (mixed)
     n_buckets: int
     max_probe: int  # buckets a query must examine (chain bound)
     seed: int = 0
@@ -66,21 +72,22 @@ class TableArrays:
         return self.key_lo.nbytes + self.key_hi.nbytes
 
     def key_words(self) -> tuple[np.ndarray, np.ndarray]:
-        """(lo, hi) uint32[n_slots] in slot order (bucket-major)."""
+        """(m_lo, m_hi) MIXED uint32[n_slots] in slot order (bucket-major);
+        ``u32hash.feistel_unmix`` recovers the raw kmer words."""
         return self.key_lo.reshape(-1), self.key_hi.reshape(-1)
 
     def block_max_probe(self) -> np.ndarray:
         """int32[n_blocks]: chain bound per chain block (1 = no chains).
 
-        Chains are rare at the default load factor, so the stream kernel skips
-        the extra probe rounds for the ~99% of blocks that have none. Computed
-        from the stored keys (each key's distance from its home bucket)."""
+        Chains get extra scheduled kernel tiles only for the blocks that have
+        them, so the bound is per block. Computed from the stored (mixed) keys
+        (each key's distance from its home bucket)."""
         if getattr(self, "_block_probe", None) is None:
             block = min(CHAIN_BLOCK, self.n_buckets)
             lo, hi = self.key_words()
             occupied = ~((lo == EMPTY) & (hi == EMPTY))
             slot_bucket = np.arange(self.n_slots, dtype=np.int64) // BUCKET_KEYS
-            home = bucket_of(lo, hi, self.n_buckets, seed=self.seed).astype(np.int64)
+            home = (lo >> np.uint32(bucket_shift(self.n_buckets))).astype(np.int64)
             dist = (slot_bucket - home) & (block - 1)
             dist = np.where(occupied, dist, 0)
             n_blocks = self.n_buckets // block
@@ -109,16 +116,12 @@ def build_table(
     seed: int = 0,
     n_buckets: int | None = None,
 ) -> TableArrays:
-    """Build the table from distinct uint64 kmers. Vectorized; O(n log n)."""
+    """Build the table from distinct uint64 kmers. Vectorized; O(n log n).
+
+    Keys whose MIXED words equal the EMPTY sentinel (probability ~n/2^64 —
+    the mix is a bijection over the full 64-bit space) trigger a reseeded
+    rebuild via the retry loop, so every input key is representable."""
     unique_kmers = np.asarray(unique_kmers, dtype=np.uint64)
-    if len(unique_kmers) and unique_kmers.max() == np.uint64(0xFFFFFFFFFFFFFFFF):
-        # unreachable for kmers (k <= 31 -> < 2^62) but possible for raw
-        # counter keys; the all-ones key is the EMPTY slot sentinel and would
-        # be silently unqueryable
-        raise ValueError(
-            "key 0xFFFFFFFFFFFFFFFF collides with the empty-slot sentinel "
-            "(keys must be < 2^64 - 1; kmer hashes are < 2^62)"
-        )
     n = len(unique_kmers)
     if n_buckets is None:
         n_buckets = max(4, _next_pow2(int(np.ceil(n / (BUCKET_KEYS * max_load))) or 1))
@@ -135,8 +138,10 @@ def build_table(
 
 def _try_build(keys: np.ndarray, n_buckets: int, seed: int):
     n = len(keys)
-    lo, hi = split_u64(keys)
-    b = bucket_of(lo, hi, n_buckets, seed=seed).astype(np.int64)
+    lo, hi = feistel_mix(*split_u64(keys), seed=seed)
+    if n and np.any((lo == EMPTY) & (hi == EMPTY)):
+        return None  # mixed key equals the empty-slot sentinel: reseed
+    b = (lo >> np.uint32(bucket_shift(n_buckets))).astype(np.int64)
 
     key_lo = np.full((n_buckets, BUCKET_KEYS), EMPTY, dtype=np.uint32)
     key_hi = np.full((n_buckets, BUCKET_KEYS), EMPTY, dtype=np.uint32)
@@ -174,13 +179,16 @@ def query_table(table: TableArrays, kmers: np.ndarray) -> np.ndarray:
     """Host/oracle query: global slot id (bucket * BUCKET_KEYS + lane) of each
     kmer, or -1 if absent. Bit-identical semantics to both device probes."""
     kmers = np.asarray(kmers, dtype=np.uint64)
-    lo, hi = split_u64(kmers)
-    b0 = bucket_of(lo, hi, table.n_buckets, seed=table.seed).astype(np.int64)
+    lo, hi = feistel_mix(*split_u64(kmers), seed=table.seed)
+    # a query whose mixed words equal the sentinel can only "match" empty
+    # slots (the build reseeds if an index key mixes to it) — mask it
+    real = ~((lo == EMPTY) & (hi == EMPTY))
+    b0 = (lo >> np.uint32(bucket_shift(table.n_buckets))).astype(np.int64)
     out = np.full(len(kmers), -1, dtype=np.int64)
     for p in range(table.max_probe):
         b = chain_next(b0, p, table.n_buckets)
         match = (table.key_lo[b] == lo[:, None]) & (table.key_hi[b] == hi[:, None])
-        any_match = match.any(axis=1)
+        any_match = match.any(axis=1) & real
         lane = match.argmax(axis=1)
         out = np.where((out < 0) & any_match, b * BUCKET_KEYS + lane, out)
     return out

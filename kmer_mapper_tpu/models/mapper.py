@@ -169,9 +169,9 @@ def default_config(**kwargs) -> MapperConfig:
     if kwargs["probe"] == "stream":
         kwargs.setdefault("interpret", not on_tpu)
         if on_tpu:
-            # round-3 composed sweep on v5e (64 Mi buffers): cap 2048/4096/8192
-            # measures 457/475/489 Mk/s ragged and 516/542/552 with read_len
-            kwargs.setdefault("stream_cap", 8192)
+            # CSE-free round-3 sweep on v5e (16 Mi buffers, mixed-key sort):
+            # cap 2048 beats 4096 (286 vs 254 Mk/s)
+            kwargs.setdefault("stream_cap", 2048)
     # super_batch deliberately stays 1: measured on v5e, folding chunks into a
     # lax.scan costs ~15-20% (carry handling) — larger buffers amortize better
     return MapperConfig(**kwargs)

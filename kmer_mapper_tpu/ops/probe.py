@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..index.layout import BUCKET_KEYS, CHAIN_BLOCK
-from .u32hash import bucket_of
+from .u32hash import bucket_shift, feistel_mix
 
 
 def chain_next(b: jnp.ndarray, step: int, n_buckets: int) -> jnp.ndarray:
@@ -50,17 +50,24 @@ def probe_hits(
     n_local = key_lo.shape[0]
     if n_buckets_global is None:
         n_buckets_global = n_local
-    b0 = bucket_of(q_lo, q_hi, n_buckets_global, seed=seed, xp=jnp).astype(jnp.int32)
+    m_lo, m_hi = feistel_mix(q_lo, q_hi, seed=seed, xp=jnp)
+    # the table stores mixed words; a query mixing to the EMPTY sentinel can
+    # only "match" empty slots (the build reseeds away real collisions)
+    real = ~((m_lo == jnp.uint32(0xFFFFFFFF)) & (m_hi == jnp.uint32(0xFFFFFFFF)))
+    shift = bucket_shift(n_buckets_global)
+    b0 = (m_lo >> jnp.uint32(shift)).astype(jnp.int32) if shift < 32 else (
+        jnp.zeros(m_lo.shape, jnp.int32)
+    )
     bucket = jnp.zeros(q_lo.shape, dtype=jnp.int32)
     mask = jnp.zeros((q_lo.shape[0], BUCKET_KEYS), dtype=bool)
     for p in range(max_probe):
         b_g = chain_next(b0, p, n_buckets_global)
         b_l = b_g - row_offset
-        in_range = (b_l >= 0) & (b_l < n_local)
+        in_range = (b_l >= 0) & (b_l < n_local) & real
         b_safe = jnp.where(in_range, b_l, 0)
         kl = key_lo[b_safe]  # (n, BUCKET_KEYS) row gather
         kh = key_hi[b_safe]
-        m = (kl == q_lo[:, None]) & (kh == q_hi[:, None]) & in_range[:, None]
+        m = (kl == m_lo[:, None]) & (kh == m_hi[:, None]) & in_range[:, None]
         hit = m.any(axis=1)
         # keys are unique in the table: at most one (bucket, lane) matches
         bucket = jnp.where(hit, b_safe, bucket)

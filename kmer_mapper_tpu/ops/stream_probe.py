@@ -65,9 +65,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..index.layout import BUCKET_KEYS, CHAIN_BLOCK
-from .u32hash import bucket_of
+from .u32hash import bucket_shift, feistel_mix
 
-INVALID_BUCKET = jnp.uint32(0xFFFFFFFF)
+#: invalid queries get BOTH mixed words set to this; the pattern equals the
+#: table's EMPTY sentinel, which the build reseeds away from real keys, and
+#: the kernel additionally masks it out of the hit test
+INVALID_WORD = np.uint32(0xFFFFFFFF)
+INVALID_BUCKET = INVALID_WORD  # historical alias (pre-mixed-key layout)
 DEFAULT_CAP = 1024  # queries per kernel tile. Standalone the kernel measures
 # faster at 2048, but in the composed chunk step 1024 wins decisively
 # (305 vs 272 Mkmers/s on the v2 kernel); trust the in-context number.
@@ -79,29 +83,48 @@ PROBE_BITS = 3  # schedule entries pack (group << PROBE_BITS) | probe_round;
 
 
 def sort_queries(q_lo, q_hi, valid, n_buckets: int, seed: int):
-    """(sorted_bucket u32, sorted_lo, sorted_hi); invalid queries sort last.
-    Unstable sort: counting is order-insensitive within a bucket. Key width
-    does not matter (u16/u8 block keys measured no faster than u32 on v5e,
-    scripts/r3_sort_width.py)."""
-    b = bucket_of(q_lo, q_hi, n_buckets, seed=seed, xp=jnp)
-    b = jnp.where(valid, b, INVALID_BUCKET)
-    return lax.sort((b, q_lo, q_hi), dimension=0, num_keys=1, is_stable=False)
+    """(sorted_m_lo, sorted_m_hi): queries bijectively mixed, sorted by m_lo.
+
+    The bucket id is the HIGH bits of m_lo, so this one 2-operand sort groups
+    (and orders) queries by bucket — dropping the separate bucket operand of
+    the pre-mixed layout saved ~28% of the sort (r3_s_dissect.py; key width
+    itself does not matter, r3_sort_width.py). Invalid queries become the
+    all-ones word pair: they sort to the tail of the last bucket's range and
+    are masked out of the hit test in the kernel. Unstable sort: counting is
+    order-insensitive within a bucket."""
+    m_lo, m_hi = feistel_mix(q_lo, q_hi, seed=seed, xp=jnp)
+    m_lo = jnp.where(valid, m_lo, INVALID_WORD)
+    m_hi = jnp.where(valid, m_hi, INVALID_WORD)
+    return lax.sort((m_lo, m_hi), dimension=0, num_keys=1, is_stable=False)
 
 
-def block_offsets(sorted_b, n_buckets: int, block: int, bucket_base=0, n_local=None):
+def block_offsets(sorted_m_lo, n_buckets: int, block: int, bucket_base=0, n_local=None):
     """int32[n_blocks + 1] query-range bounds per table block.
 
-    With ``bucket_base``/``n_local`` the bounds cover only the shard-local
-    bucket range [bucket_base, bucket_base + n_local); queries owned by other
-    shards fall outside every range."""
+    Bucket b owns sorted positions with ``m_lo >> shift == b``, so the bounds
+    are bisections for the m_lo thresholds ``(bucket << shift)``. A threshold
+    at or past 2^32 (the end of the global table) means "end of array" — that
+    last range also absorbs the invalid-query tail (all-ones words), which the
+    kernel masks. With ``bucket_base``/``n_local`` the bounds cover only the
+    shard-local bucket range; queries owned by other shards fall outside
+    every range."""
     if n_local is None:
         n_local = n_buckets
     n_blocks = max(1, n_local // min(block, n_buckets))
     block = n_local // n_blocks
-    bounds = jnp.uint32(bucket_base) + jnp.arange(
-        n_blocks + 1, dtype=jnp.uint32
-    ) * jnp.uint32(block)
-    return _searchsorted_u32(sorted_b, bounds)
+    shift = min(bucket_shift(n_buckets), 31)  # shift 32 only when every
+    # bucket id is 0 (n_buckets == 1), where the non-top bound is 0 anyway
+    n = sorted_m_lo.shape[0]
+    # bucket-id arithmetic stays in int32 (ids <= n_buckets <= 2^22); the only
+    # threshold that would overflow u32 is the global table's top, which
+    # simply means "end of array" (and absorbs the invalid-query tail)
+    bounds_b = jnp.asarray(bucket_base, jnp.int32) + jnp.arange(
+        n_blocks + 1, dtype=jnp.int32
+    ) * jnp.int32(block)
+    is_top = bounds_b >= jnp.int32(n_buckets)
+    vals = jnp.where(is_top, 0, bounds_b).astype(jnp.uint32) << jnp.uint32(shift)
+    off = _searchsorted_u32(sorted_m_lo, vals)
+    return jnp.where(is_top, jnp.int32(n), off)
 
 
 def _searchsorted_u32(sorted_vals, queries):
@@ -178,7 +201,7 @@ def _kernel(
     key_lo_ref,  # VMEM (coarse * BPB, K)
     key_hi_ref,
     counts_in_ref,  # VMEM (coarse * BPB, K) uint32, aliased with output
-    q_hbm,  # ANY (4, n_padded) uint32: rows = sorted bucket / lo / hi / dead
+    q_hbm,  # ANY (4, n_padded) uint32: rows = sorted m_lo / m_hi / dead / dead
     counts_out_ref,  # VMEM (coarse * BPB, K)
     q_s,  # scratch VMEM (n_slots, 4, cap) multi-buffered fused query tiles
     tb_s,  # scratch VMEM (coarse * BPB, 8K) bf16: hoisted table byte planes
@@ -191,6 +214,7 @@ def _kernel(
     t_pad: int,
     n_slots: int,
     use_meta: bool,
+    shift: int,  # bucket id = m_lo >> shift (global bucket count)
 ):
     """One grid step = ``coarse`` chain blocks, iterated as ONE flat fori_loop
     over scheduled (block, probe round) query tiles. The table byte planes for
@@ -296,10 +320,16 @@ def _kernel(
         end = off_ref[grp + 2]
         base_bucket = off_ref[0] + grp * bpb  # off_ref[0] = shard base
         pos = base_j + lane_pos  # (1, cap)
-        qb = q_s[slot, 0:1, :].astype(jnp.int32)
+        qm_lo = q_s[slot, 0:1, :]
+        qm_hi = q_s[slot, 1:2, :]
+        # bucket id = high bits of the mixed low word (no bucket operand)
+        qb = (qm_lo >> jnp.uint32(min(shift, 31))).astype(jnp.int32)
         live = (pos >= start) & (pos < end)
         local_b = qb - base_bucket  # (1, cap)
         live = live & (local_b >= 0) & (local_b < bpb)
+        # invalid queries (all-ones word pair) ride the last bucket's range;
+        # they may only "match" EMPTY slots — mask them out of the hit test
+        live = live & ~((qm_lo == INVALID_WORD) & (qm_hi == INVALID_WORD))
         # probe round p folded into the one-hot: comparing against row
         # (local_b + p) mod bpb gathers the chained bucket's keys AND lands
         # the count contribution on that same chained row — identical to
@@ -316,7 +346,7 @@ def _kernel(
             preferred_element_type=jnp.float32,
         )
         gp0, gp1, gp2 = _packed_gathered(gathered)
-        qp0, qp1, qp2 = _packed_query_planes(q_s[slot, 1:2, :], q_s[slot, 2:3, :])
+        qp0, qp1, qp2 = _packed_query_planes(qm_lo, qm_hi)
         hits = live & (gp0 == qp0) & (gp1 == qp1) & (gp2 == qp2)
         c = lax.dot_general(
             one_hot,
@@ -336,12 +366,11 @@ def _kernel(
 
 
 def stream_count(
-    key_lo: jnp.ndarray,  # uint32[n_buckets, K]
+    key_lo: jnp.ndarray,  # uint32[n_buckets, K] (mixed words)
     key_hi: jnp.ndarray,
     counts: jnp.ndarray,  # uint32[n_slots] flat
-    sorted_b: jnp.ndarray,  # uint32[N] (sorted)
-    sorted_lo: jnp.ndarray,
-    sorted_hi: jnp.ndarray,
+    sorted_m_lo: jnp.ndarray,  # uint32[N] mixed, sorted (sort_queries)
+    sorted_m_hi: jnp.ndarray,
     off: jnp.ndarray,  # int32[n_blocks + 1]
     max_probe: int,
     cap: int = DEFAULT_CAP,
@@ -350,14 +379,19 @@ def stream_count(
     chain_block: int | None = None,  # build-time chain block (global tables: auto)
     block_probe=None,  # int32[n_blocks] per-block chain bound (None: max_probe)
     coarse: int = DEFAULT_COARSE,  # chain blocks folded into one grid step
+    n_buckets_global: int | None = None,  # sharded tables: global bucket count
 ) -> jnp.ndarray:
     """counts += histogram of table hits among the sorted queries.
 
     ``key_lo``/``key_hi``/``counts`` may be a shard of a larger table; pass
-    the shard's ``bucket_base`` and the build-time ``chain_block``
-    (= min(CHAIN_BLOCK, n_buckets_global)); shard sizes must be chain-block
-    multiples so the in-kernel chain wrap reproduces the build's wrapping."""
+    the shard's ``bucket_base``, the build-time ``chain_block``
+    (= min(CHAIN_BLOCK, n_buckets_global)) and ``n_buckets_global``; shard
+    sizes must be chain-block multiples so the in-kernel chain wrap reproduces
+    the build's wrapping."""
     n_local = key_lo.shape[0]
+    if n_buckets_global is None:
+        n_buckets_global = n_local
+    shift = bucket_shift(n_buckets_global)
     bpb = min(CHAIN_BLOCK, n_local) if chain_block is None else chain_block
     assert n_local % bpb == 0, "table shard must be a multiple of the chain block"
     # the DMA-offset alignment promised to Mosaic (pl.multiple_of) requires
@@ -367,15 +401,15 @@ def stream_count(
     coarse = max(1, min(coarse, n_blocks))
     while n_blocks % coarse:
         coarse //= 2
-    n = sorted_b.shape[0]
-    # tail padding: the last window may extend past n by up to cap
+    n = sorted_m_lo.shape[0]
+    # tail padding: the last window may extend past n by up to cap; padding is
+    # the invalid all-ones pattern, masked in-kernel like real invalid queries
     pad = (-n) % cap + cap
-    sorted_b = jnp.concatenate([sorted_b, jnp.full(pad, INVALID_BUCKET)])
-    sorted_lo = jnp.concatenate([sorted_lo, jnp.zeros(pad, jnp.uint32)])
-    sorted_hi = jnp.concatenate([sorted_hi, jnp.zeros(pad, jnp.uint32)])
-    # 4 rows (bucket/lo/hi + one dead row): HBM u32 arrays are sublane-tiled
+    sorted_m_lo = jnp.concatenate([sorted_m_lo, jnp.full(pad, INVALID_WORD)])
+    sorted_m_hi = jnp.concatenate([sorted_m_hi, jnp.full(pad, INVALID_WORD)])
+    # 4 rows (m_lo/m_hi + two dead rows): HBM u32 arrays are sublane-tiled
     # by 4, and DMA slices along that dim must be tile-aligned
-    q = jnp.stack([sorted_b, sorted_lo, sorted_hi, sorted_hi])  # (4, n_padded)
+    q = jnp.stack([sorted_m_lo, sorted_m_hi, sorted_m_hi, sorted_m_hi])
     counts2d = counts.reshape(n_local, BUCKET_KEYS)
 
     if block_probe is None:
@@ -458,6 +492,7 @@ def stream_count(
     kernel = functools.partial(
         _kernel, cap=cap, bpb=bpb, n_blocks=n_blocks,
         coarse=coarse, t_pad=t_pad, n_slots=n_slots, use_meta=use_meta,
+        shift=shift,
     )
     out = pl.pallas_call(
         kernel,
@@ -485,16 +520,15 @@ def stream_probe_count(
 ):
     """Full stream path: sort -> block offsets -> stream kernel."""
     n_buckets = key_lo.shape[0]
-    sb, slo, shi = sort_queries(q_lo, q_hi, valid, n_buckets, seed)
+    sm_lo, sm_hi = sort_queries(q_lo, q_hi, valid, n_buckets, seed)
     bpb = min(CHAIN_BLOCK, n_buckets)
-    off = block_offsets(sb, n_buckets, bpb)
+    off = block_offsets(sm_lo, n_buckets, bpb)
     return stream_count(
         key_lo,
         key_hi,
         counts,
-        sb,
-        slo,
-        shi,
+        sm_lo,
+        sm_hi,
         off,
         max_probe,
         cap=cap,

@@ -79,25 +79,26 @@ def make_sharded_step(
                 bp_local = None
 
             def probe_and_count_stream(c, q_lo, q_hi, q_valid):
-                sb, slo, shi = stream_probe.sort_queries(
+                sm_lo, sm_hi = stream_probe.sort_queries(
                     q_lo, q_hi, q_valid, n_buckets, seed
                 )
                 off = stream_probe.block_offsets(
-                    sb, n_buckets, chain_block, bucket_base=row_offset, n_local=nb_local
+                    sm_lo, n_buckets, chain_block, bucket_base=row_offset,
+                    n_local=nb_local,
                 )
                 return stream_probe.stream_count(
                     key_lo,
                     key_hi,
                     c,
-                    sb,
-                    slo,
-                    shi,
+                    sm_lo,
+                    sm_hi,
                     off,
                     max_probe,
                     interpret=config.interpret,
                     bucket_base=row_offset,
                     chain_block=chain_block,
                     block_probe=bp_local,
+                    n_buckets_global=n_buckets,
                 )
 
         else:

@@ -187,11 +187,12 @@ def make_mapper_and_chunks(
 ) -> tuple[KmerMapper, Iterable]:
     """Build the device mapper plus the packed host chunk iterator.
 
-    The device buffer is at least 32 Mi bases regardless of ``chunk_size``
-    (the reference's 2.5 MB default is a CPU-pool tuning knob; on TPU, larger
-    fixed-shape buffers amortize per-block kernel and dispatch costs — the
-    round-3 sweep measured 16/32/64 Mi at 345/413/435 Mkmers/s on v5e). On CPU
-    (tests/fallback) the buffer follows chunk_size directly.
+    The device buffer is at least 16 Mi bases regardless of ``chunk_size``
+    (the reference's 2.5 MB default is a CPU-pool tuning knob; on TPU, large
+    fixed-shape buffers amortize per-block kernel and dispatch costs, while
+    the sort's n log n growth punishes oversized ones — 16 Mi is the CSE-free
+    sweep optimum on v5e). On CPU (tests/fallback) the buffer follows
+    chunk_size directly.
 
     If the first chunk consists of uniform-length reads (the Illumina case),
     the step compiles with ``read_len`` set: the k-1 dead window slots per
@@ -327,10 +328,9 @@ def map_sequences(
 def _buf_floor() -> int:
     import jax
 
-    # 32 Mi measured +20% over 16 Mi on v5e (r3 sweep); 64 Mi gains ~5% more
-    # but doubles host buffer latency per chunk — keep the floor at 32 Mi and
-    # let --chunk-size raise it
-    return 32 << 20 if jax.default_backend() == "tpu" else 1 << 16
+    # CSE-free r3 sweep on v5e: 16 Mi beats 32/64 Mi (286/260/253 Mk/s) with
+    # the mixed-key 2-operand sort; early (CSE-distorted) sweeps said otherwise
+    return 16 << 20 if jax.default_backend() == "tpu" else 1 << 16
 
 
 def _round_up(x: int, m: int) -> int:

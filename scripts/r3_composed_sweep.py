@@ -7,7 +7,10 @@ for chained blocks, bounded per block by block_probe), so the tradeoff needs
 the composed measurement — bench.py methodology: 8 chunk steps chained in one
 jitted window over device-resident chunks, best of 3 windows.
 
-Configs: (max_load, buf). Baseline (0.3, 16Mi) should reproduce ~312 Mk/s.
+Configs: (max_load, buf[, cap[, coarse]]). Windows use STEPS DISTINCT
+chunks: with repeated chunks XLA CSE dedupes the pure sort/hash subgraphs
+and inflates the rate (r3_true_window.py) — early round-3 sweeps cycled
+2-3 chunks and are only comparable at equal distinct-chunk counts.
 """
 import sys
 
@@ -99,7 +102,7 @@ def run_config(max_load, buf, entry, chunks, cap=0, coarse=0):
     def window(key_lo, key_hi, counts, resident):
         total = jnp.uint32(0)
         for i in range(STEPS):
-            p, ln, nb = resident[i % len(resident)]
+            p, ln, nb = resident[i]  # distinct: no sort/hash CSE
             counts, n_valid = step(key_lo, key_hi, counts, p, ln, nb)
             total = total + n_valid
         return counts, total
@@ -122,7 +125,7 @@ def run_config(max_load, buf, entry, chunks, cap=0, coarse=0):
 
 
 def main():
-    chunks16 = [make_read_chunk(16 << 20) for _ in range(3)]
+    chunks16 = [make_read_chunk(16 << 20) for _ in range(STEPS)]
     entry = entry_kmers_for(chunks16[0])
     import os
 
@@ -134,7 +137,8 @@ def main():
         max_load, buf = float(fields[0]), int(fields[1]) << 20
         cap = int(fields[2]) if len(fields) > 2 else 0
         coarse = int(fields[3]) if len(fields) > 3 else 0
-        chunks = chunks16 if buf == 16 << 20 else [make_read_chunk(buf) for _ in range(2)]
+        chunks = (chunks16 if buf == 16 << 20 else
+                  [make_read_chunk(buf) for _ in range(STEPS)])
         try:
             run_config(max_load, buf, entry, chunks, cap=cap, coarse=coarse)
         except Exception as e:  # noqa: BLE001

@@ -84,9 +84,9 @@ def main():
         hi = hi[: R * L].reshape(R, L)[:, :W].reshape(R * W)
         n_reads = n_bases // jnp.int32(L)
         valid = (jax.lax.broadcasted_iota(jnp.int32, (R, W), 0) < n_reads).reshape(R * W)
-        sb, slo, shi = stream_probe.sort_queries(lo, hi, valid, table.n_buckets, table.seed)
-        off = stream_probe.block_offsets(sb, table.n_buckets, 128)
-        counts = counts.at[0].add(sb[0] + slo[-1] + shi[0] + off[-1].astype(jnp.uint32))
+        sm_lo, sm_hi = stream_probe.sort_queries(lo, hi, valid, table.n_buckets, table.seed)
+        off = stream_probe.block_offsets(sm_lo, table.n_buckets, 128)
+        counts = counts.at[0].add(sm_lo[0] + sm_hi[-1] + off[-1].astype(jnp.uint32))
         return counts, (n_reads * W).astype(jnp.uint32)
 
     for tag, fn in (("full", step), ("nokernel", sort_only)):

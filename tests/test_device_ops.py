@@ -305,3 +305,40 @@ def test_map_hashes_stream_route_matches_gather():
         KmerMapper.STREAM_HASH_MIN = old_min
     np.testing.assert_array_equal(stream.slot_counts(), gather.slot_counts())
     assert stream.n_kmers_mapped == len(hashes)
+
+
+def test_feistel_mix_bijective_and_backend_identical():
+    from kmer_mapper_tpu.ops.u32hash import feistel_mix, feistel_unmix
+
+    rng = np.random.default_rng(3)
+    lo = rng.integers(0, 1 << 32, 4096, dtype=np.int64).astype(np.uint32)
+    hi = rng.integers(0, 1 << 32, 4096, dtype=np.int64).astype(np.uint32)
+    for seed in (0, 13, 26):
+        m_lo, m_hi = feistel_mix(lo, hi, seed=seed)
+        jl, jh = feistel_mix(jnp.asarray(lo), jnp.asarray(hi), seed=seed, xp=jnp)
+        np.testing.assert_array_equal(m_lo, np.asarray(jl))
+        np.testing.assert_array_equal(m_hi, np.asarray(jh))
+        rl, rh = feistel_unmix(m_lo, m_hi, seed=seed)
+        np.testing.assert_array_equal(rl, lo)
+        np.testing.assert_array_equal(rh, hi)
+    # distinct inputs stay distinct through the permutation (spot injectivity)
+    m_lo, m_hi = feistel_mix(lo, hi, seed=1)
+    packed = join_u64(m_lo, m_hi)
+    assert len(np.unique(packed)) == len(np.unique(join_u64(lo, hi)))
+
+
+def test_bucket_of_uniformity_and_low_word_grouping():
+    """bucket_of must equal the high bits of the mixed low word (the sort-key
+    contract of the stream path) and spread clustered kmers."""
+    from kmer_mapper_tpu.ops.u32hash import bucket_of, bucket_shift, feistel_mix
+
+    rng = np.random.default_rng(4)
+    # adversarial near-identical kmers: same high word, low word 0..N
+    kmers = np.arange(1 << 14, dtype=np.uint64) | (np.uint64(0x2AB) << np.uint64(40))
+    lo, hi = split_u64(kmers)
+    n_buckets = 1 << 10
+    b = bucket_of(lo, hi, n_buckets, seed=0)
+    m_lo, _ = feistel_mix(lo, hi, seed=0)
+    np.testing.assert_array_equal(b, m_lo >> np.uint32(bucket_shift(n_buckets)))
+    counts = np.bincount(b.astype(np.int64), minlength=n_buckets)
+    assert counts.max() < 16 * (len(kmers) / n_buckets)  # no pathological pile-up

@@ -18,10 +18,12 @@ def test_table_build_and_query_roundtrip():
     assert (slots >= 0).all()
     # slots are distinct and store the right keys
     assert len(np.unique(slots)) == len(keys)
-    lo, hi = table.key_words()
-    np.testing.assert_array_equal(
-        lo[slots].astype(np.uint64) | (hi[slots].astype(np.uint64) << np.uint64(32)), keys
-    )
+    # stored words are bijectively mixed; unmixing recovers the raw keys
+    from kmer_mapper_tpu.ops.u32hash import feistel_unmix, join_u64
+
+    m_lo, m_hi = table.key_words()
+    lo, hi = feistel_unmix(m_lo[slots], m_hi[slots], seed=table.seed)
+    np.testing.assert_array_equal(join_u64(lo, hi), keys)
     # absent keys return -1
     absent = np.setdiff1d(rng.integers(0, 1 << 62, 1000, dtype=np.uint64), keys)
     np.testing.assert_array_equal(layout.query_table(table, absent), -1)
@@ -187,11 +189,13 @@ def test_sentinel_like_keys_are_valid():
     assert len(np.unique(slots)) == 3
 
 
-def test_max_uint64_key_rejected():
-    """The all-ones key is the EMPTY slot sentinel: builds must refuse it
-    rather than silently losing the key (legal kmers are < 2^62)."""
-    with pytest.raises(ValueError, match="sentinel"):
-        layout.build_table(np.array([1, 0xFFFFFFFFFFFFFFFF], dtype=np.uint64))
+def test_max_uint64_key_buildable():
+    """The EMPTY sentinel is the all-ones MIXED pattern; since the key mix is
+    a seeded bijection, any raw key (including all-ones) is representable —
+    a sentinel collision just reseeds the build."""
+    keys = np.array([1, 0xFFFFFFFFFFFFFFFF], dtype=np.uint64)
+    table = layout.build_table(keys)
+    assert (layout.query_table(table, keys) >= 0).all()
 
 
 def test_adversarial_real_writer_npz(tmp_path):
