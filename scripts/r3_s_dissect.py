@@ -29,9 +29,12 @@ from kmer_mapper_tpu.io.readers import SequenceChunk, pack_for_device
 from kmer_mapper_tpu.models.mapper import MapperConfig
 from kmer_mapper_tpu.ops import hashing, stream_probe
 
-K, READ_LEN, BUF = 31, 151, 64 << 20
+import os
+
+K, READ_LEN = 31, 151
+BUF = int(os.environ.get("BUF_MI", "64")) << 20
 STEPS = 8
-CAP = 8192
+CAP = int(os.environ.get("CAP", "8192"))
 rng = np.random.default_rng(0)
 
 

@@ -251,3 +251,40 @@ def test_minimal_index_field_subset(tmp_path):
     np.testing.assert_array_equal(loaded.n_kmers, index.n_kmers)
     tpu = ki.load_index(str(path))
     assert tpu.n_unique == len(np.unique(index.kmers))
+
+
+def test_sentinel_colliding_key_reseeds_and_stays_queryable():
+    """A key whose MIXED words equal the EMPTY sentinel (crafted via the
+    Feistel inverse) must trigger a reseeded rebuild, not silent loss."""
+    from kmer_mapper_tpu.ops.u32hash import feistel_unmix, join_u64
+
+    lo, hi = feistel_unmix(
+        np.array([0xFFFFFFFF], np.uint32), np.array([0xFFFFFFFF], np.uint32), seed=0
+    )
+    evil = join_u64(lo, hi)[0]
+    keys = np.array([evil, 5, 9, 1 << 40], dtype=np.uint64)
+    table = layout.build_table(keys)
+    assert table.seed != 0  # the build had to walk away from seed 0
+    slots = layout.query_table(table, keys)
+    assert (slots >= 0).all() and len(np.unique(slots)) == len(keys)
+    # and the stream path counts it exactly (interpret mode)
+    import jax.numpy as jnp
+
+    from kmer_mapper_tpu.ops import stream_probe
+    from kmer_mapper_tpu.ops.u32hash import split_u64
+
+    qlo, qhi = split_u64(np.array([evil, evil, 5, 777], dtype=np.uint64))
+    out = stream_probe.stream_probe_count(
+        jnp.asarray(table.key_lo),
+        jnp.asarray(table.key_hi),
+        jnp.zeros(table.n_slots, jnp.uint32),
+        jnp.asarray(qlo),
+        jnp.asarray(qhi),
+        jnp.ones(4, bool),
+        table.seed,
+        table.max_probe,
+        cap=8,
+        interpret=True,
+    )
+    out = np.asarray(out)
+    assert out[slots[0]] == 2 and out.sum() == 3
