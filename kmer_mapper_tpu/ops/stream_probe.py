@@ -77,6 +77,7 @@ DEFAULT_CAP = 1024  # queries per kernel tile. Standalone the kernel measures
 # (305 vs 272 Mkmers/s on the v2 kernel); trust the in-context number.
 DEFAULT_COARSE = 16  # chain blocks per grid step (amortizes grid-step overhead)
 N_DMA_SLOTS = 4  # query-tile DMA pipelining depth (issued n-1 tiles ahead)
+DEFAULT_GROUP = 1  # adjacent chain blocks per widened one-hot tile
 SMEM_I32_BUDGET = 200_000  # scalar-prefetch words that safely fit SMEM (1 MB)
 PROBE_BITS = 3  # schedule entries pack (group << PROBE_BITS) | probe_round;
 # index/layout.py bounds chains at MAX_PROBE_LIMIT = 8 rounds, so 3 bits
@@ -197,7 +198,7 @@ ALIGN = 128  # DMA windows start on a lane-aligned query offset (<= cap)
 
 
 def _kernel(
-    off_ref,  # scalar-prefetch int32: [shard_base, off(n_blocks+1), rounds(n_blocks), tile_bounds(n_steps+1), t_meta(t_pad), t_off(t_pad)]
+    off_ref,  # scalar-prefetch int32: [shard_base, goff(n_groups+1), rounds(n_groups), tile_bounds(n_steps+1), t_meta(t_pad), t_off(t_pad)]
     key_lo_ref,  # VMEM (coarse * BPB, K)
     key_hi_ref,
     counts_in_ref,  # VMEM (coarse * BPB, K) uint32, aliased with output
@@ -208,9 +209,10 @@ def _kernel(
     sems,  # DMA semaphores (n_slots,)
     *,
     cap: int,
-    bpb: int,
-    n_blocks: int,
-    coarse: int,
+    bpb: int,  # chain block (wrap quantum)
+    gpb: int,  # rows per scheduled group = group * bpb (one-hot height)
+    n_groups: int,
+    coarse: int,  # groups per grid step
     t_pad: int,
     n_slots: int,
     use_meta: bool,
@@ -231,12 +233,12 @@ def _kernel(
     ci = pl.program_id(0)
     counts_out_ref[...] = counts_in_ref[...]
     tb_s[...] = _table_bytes(key_lo_ref[...], key_hi_ref[...]).astype(jnp.bfloat16)
-    rows = lax.broadcasted_iota(jnp.int32, (bpb, cap), 0)
+    rows = lax.broadcasted_iota(jnp.int32, (gpb, cap), 0)
     lane_pos = lax.broadcasted_iota(jnp.int32, (1, cap), 1)
-    n_steps = n_blocks // coarse
-    t_lo = off_ref[2 * n_blocks + 2 + ci]
-    t_hi = off_ref[2 * n_blocks + 2 + ci + 1]
-    meta0 = 2 * n_blocks + 2 + n_steps + 1
+    n_steps = n_groups // coarse
+    t_lo = off_ref[2 * n_groups + 2 + ci]
+    t_hi = off_ref[2 * n_groups + 2 + ci + 1]
+    meta0 = 2 * n_groups + 2 + n_steps + 1
     align = min(ALIGN, cap)
 
     def group_window(grp):
@@ -267,7 +269,7 @@ def _kernel(
 
         def sched_len(grp):
             # scheduled entries for a group: tiles x probe rounds
-            return group_window(grp)[3] * off_ref[n_blocks + 2 + grp]
+            return group_window(grp)[3] * off_ref[n_groups + 2 + grp]
 
         def advance(grp, e):
             # skip to the next group that still has schedule entry e
@@ -318,26 +320,31 @@ def _kernel(
         dma_at(base_j, slot).wait()
         start = off_ref[grp + 1]
         end = off_ref[grp + 2]
-        base_bucket = off_ref[0] + grp * bpb  # off_ref[0] = shard base
+        base_bucket = off_ref[0] + grp * gpb  # off_ref[0] = shard base (buckets)
         pos = base_j + lane_pos  # (1, cap)
         qm_lo = q_s[slot, 0:1, :]
         qm_hi = q_s[slot, 1:2, :]
         # bucket id = high bits of the mixed low word (no bucket operand)
         qb = (qm_lo >> jnp.uint32(min(shift, 31))).astype(jnp.int32)
         live = (pos >= start) & (pos < end)
-        local_b = qb - base_bucket  # (1, cap)
-        live = live & (local_b >= 0) & (local_b < bpb)
+        local_b = qb - base_bucket  # (1, cap), in [0, gpb) when live
+        live = live & (local_b >= 0) & (local_b < gpb)
         # invalid queries (all-ones word pair) ride the last bucket's range;
         # they may only "match" EMPTY slots — mask them out of the hit test
         live = live & ~((qm_lo == INVALID_WORD) & (qm_hi == INVALID_WORD))
         # probe round p folded into the one-hot: comparing against row
-        # (local_b + p) mod bpb gathers the chained bucket's keys AND lands
-        # the count contribution on that same chained row — identical to
-        # rolling the table tile by p, without any roll
-        local_bp = (local_b + p) & jnp.int32(bpb - 1)
+        # (local_b + p), wrapped WITHIN the query's own chain block, gathers
+        # the chained bucket's keys AND lands the count contribution on that
+        # same chained row — identical to rolling the table tile by p,
+        # without any roll. A group is ``gpb // bpb`` adjacent chain blocks
+        # served by ONE widened one-hot (the gather/compare work is shared,
+        # unlike the rejected sub-grouping that duplicated the matmuls).
+        local_bp = (local_b & ~jnp.int32(bpb - 1)) | (
+            (local_b + p) & jnp.int32(bpb - 1)
+        )
         one_hot = ((rows == local_bp) & live).astype(jnp.bfloat16)
-        row0 = pl.multiple_of((grp - ci * coarse) * bpb, bpb)
-        tb = tb_s[pl.ds(row0, bpb), :]
+        row0 = pl.multiple_of((grp - ci * coarse) * gpb, gpb)
+        tb = tb_s[pl.ds(row0, gpb), :]
         # per-query candidate key bytes: (8K, cap) = tbᵀ ⨯ one_hot
         gathered = lax.dot_general(
             tb,
@@ -353,9 +360,9 @@ def _kernel(
             hits.astype(jnp.bfloat16),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (bpb, K)
-        counts_out_ref[pl.ds(row0, bpb), :] = counts_out_ref[
-            pl.ds(row0, bpb), :
+        )  # (gpb, K)
+        counts_out_ref[pl.ds(row0, gpb), :] = counts_out_ref[
+            pl.ds(row0, gpb), :
         ] + c.astype(jnp.int32).astype(jnp.uint32)
         return 0 if use_meta else (gn, en)
 
@@ -380,6 +387,9 @@ def stream_count(
     block_probe=None,  # int32[n_blocks] per-block chain bound (None: max_probe)
     coarse: int = DEFAULT_COARSE,  # chain blocks folded into one grid step
     n_buckets_global: int | None = None,  # sharded tables: global bucket count
+    group: int = 0,  # adjacent chain blocks served by one widened one-hot
+    # tile (0 = DEFAULT_GROUP): boundary tiles between grouped blocks are
+    # processed once instead of once per block
 ) -> jnp.ndarray:
     """counts += histogram of table hits among the sorted queries.
 
@@ -398,8 +408,14 @@ def stream_count(
     # tile strides to preserve the window base's alignment
     assert cap % min(ALIGN, cap) == 0, f"cap must be a multiple of {ALIGN} (or < {ALIGN})"
     n_blocks = n_local // bpb
-    coarse = max(1, min(coarse, n_blocks))
-    while n_blocks % coarse:
+    group = group or DEFAULT_GROUP
+    group = max(1, min(group, n_blocks))
+    while n_blocks % group:
+        group //= 2
+    gpb = group * bpb
+    n_groups = n_blocks // group
+    coarse = max(1, min(coarse // group, n_groups))  # grid-step size in groups
+    while n_groups % coarse:
         coarse //= 2
     n = sorted_m_lo.shape[0]
     # tail padding: the last window may extend past n by up to cap; padding is
@@ -413,10 +429,13 @@ def stream_count(
     counts2d = counts.reshape(n_local, BUCKET_KEYS)
 
     if block_probe is None:
-        rounds = jnp.full(n_blocks, max_probe, dtype=jnp.int32)
+        rounds = jnp.full(n_groups, max_probe, dtype=jnp.int32)
         max_rounds = max_probe
     else:
+        # per-group chain bound = max over the group's chain blocks
         rounds = jnp.asarray(block_probe, dtype=jnp.int32)
+        if group > 1:
+            rounds = rounds.reshape(n_groups, group).max(axis=1)
         # static bound on scheduled rounds per block, for the SMEM budget
         if isinstance(block_probe, jax.core.Tracer):
             max_rounds = max_probe
@@ -427,8 +446,8 @@ def stream_count(
     # scalar-prefetch operands live in SMEM (~1 MB): the per-tile schedule
     # arrays only fit for small/medium tables; large tables use the in-kernel
     # while-cursor schedule
-    t_pad = max_rounds * ((n + pad) // cap + n_blocks)  # static schedule bound
-    base_len = 2 * n_blocks + 2 + n_blocks // coarse + 1
+    t_pad = max_rounds * ((n + pad) // cap + n_groups)  # static schedule bound
+    base_len = 2 * n_groups + 2 + n_groups // coarse + 1
     use_meta = base_len + 2 * t_pad <= SMEM_I32_BUDGET
     if not use_meta and base_len > SMEM_I32_BUDGET:
         raise ValueError(
@@ -440,17 +459,17 @@ def stream_count(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_blocks // coarse,),
+        grid=(n_groups // coarse,),
         in_specs=[
-            pl.BlockSpec((coarse * bpb, BUCKET_KEYS), lambda i, off: (i, 0)),
-            pl.BlockSpec((coarse * bpb, BUCKET_KEYS), lambda i, off: (i, 0)),
-            pl.BlockSpec((coarse * bpb, BUCKET_KEYS), lambda i, off: (i, 0)),
+            pl.BlockSpec((coarse * gpb, BUCKET_KEYS), lambda i, off: (i, 0)),
+            pl.BlockSpec((coarse * gpb, BUCKET_KEYS), lambda i, off: (i, 0)),
+            pl.BlockSpec((coarse * gpb, BUCKET_KEYS), lambda i, off: (i, 0)),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
-        out_specs=pl.BlockSpec((coarse * bpb, BUCKET_KEYS), lambda i, off: (i, 0)),
+        out_specs=pl.BlockSpec((coarse * gpb, BUCKET_KEYS), lambda i, off: (i, 0)),
         scratch_shapes=[
             pltpu.VMEM((n_slots, 4, cap), jnp.uint32),
-            pltpu.VMEM((coarse * bpb, 8 * BUCKET_KEYS), jnp.bfloat16),
+            pltpu.VMEM((coarse * gpb, 8 * BUCKET_KEYS), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((n_slots,)),
         ],
     )
@@ -458,8 +477,9 @@ def stream_count(
     # block whose chain bound is L appears L times over its query window.
     # Entries pack (group << PROBE_BITS) | p; DMA offsets are precomputed.
     align = min(ALIGN, cap)
-    g_starts = off[:-1]
-    g_ends = off[1:]
+    goff = off[::group] if group > 1 else off  # per-group query bounds
+    g_starts = goff[:-1]
+    g_ends = goff[1:]
     bases = g_starts & ~jnp.int32(align - 1)
     n_tiles_g = jnp.where(
         g_ends > g_starts, (g_ends - bases + jnp.int32(cap - 1)) // cap, jnp.int32(0)
@@ -469,10 +489,10 @@ def stream_count(
     csum = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(n_sched_g, dtype=jnp.int32)]
     )
-    tile_bounds = csum[::coarse]  # (n_blocks // coarse + 1,)
+    tile_bounds = csum[::coarse]  # (n_groups // coarse + 1,)
     parts = [
         jnp.asarray(bucket_base, dtype=jnp.int32).reshape(1),
-        off,
+        goff,
         rounds,
         tile_bounds,
     ]
@@ -481,8 +501,8 @@ def stream_count(
         t_grp = jnp.cumsum(
             jnp.zeros(t_pad, jnp.int32).at[csum[1:]].add(1, mode="drop")
         )
-        safe = jnp.minimum(t_grp, n_blocks - 1)
-        r = jnp.arange(t_pad, dtype=jnp.int32) - csum[jnp.minimum(t_grp, n_blocks)]
+        safe = jnp.minimum(t_grp, n_groups - 1)
+        r = jnp.arange(t_pad, dtype=jnp.int32) - csum[jnp.minimum(t_grp, n_groups)]
         nt = jnp.maximum(n_tiles_g[safe], 1)
         p = jnp.minimum(r // nt, max_rounds - 1)
         t_meta = (safe << PROBE_BITS) | p
@@ -490,7 +510,7 @@ def stream_count(
         parts += [t_meta, t_off]
     scalars = jnp.concatenate(parts)
     kernel = functools.partial(
-        _kernel, cap=cap, bpb=bpb, n_blocks=n_blocks,
+        _kernel, cap=cap, bpb=bpb, gpb=gpb, n_groups=n_groups,
         coarse=coarse, t_pad=t_pad, n_slots=n_slots, use_meta=use_meta,
         shift=shift,
     )
@@ -517,6 +537,7 @@ def stream_probe_count(
     interpret: bool = False,
     block_probe=None,
     coarse: int = DEFAULT_COARSE,
+    group: int = 0,
 ):
     """Full stream path: sort -> block offsets -> stream kernel."""
     n_buckets = key_lo.shape[0]
@@ -535,4 +556,5 @@ def stream_probe_count(
         interpret=interpret,
         block_probe=block_probe,
         coarse=coarse,
+        group=group,
     )

@@ -79,6 +79,8 @@ def run_config(max_load, buf, entry, chunks, cap=0, coarse=0):
 
     if coarse:
         stream_probe.DEFAULT_COARSE = coarse
+    if os.environ.get("GROUP"):
+        stream_probe.DEFAULT_GROUP = int(os.environ["GROUP"])
     config = MapperConfig(
         k=K, buf=buf, max_reads=buf // 64, probe="stream", stream_cap=cap,
         read_len=READ_LEN if os.environ.get("RLEN") else 0,

@@ -3,6 +3,7 @@ the 64Mi production config — r3_true_window.py, D=8 CSE-free windows).
 
 Variants chained over 8 DISTINCT chunks (sort/hash can't CSE):
 
+  raw     rolling hash phases only (no interleave/stack, no slicing)
   hash    rolling hash from packed words + fixed-read_len slicing + valid
   sort    + 3-operand unstable lax.sort
   off     + block_offsets bisection                       (= r3_true nokernel)
@@ -78,6 +79,16 @@ def main():
     n_blocks = table.n_buckets // 128
 
     def stage(variant, acc, packed_arr, n_bases):
+        if variant == "raw":
+            # phases without the minor-dim-16 stack/reshape interleave
+            w0, w1, w2 = packed_arr[:-2], packed_arr[1:-1], packed_arr[2:]
+            t = jnp.uint32(0)
+            for ph in range(16):
+                sh = 2 * ph
+                lo = (w0 >> sh) | (w1 << (32 - sh)) if sh else w0
+                hi = (w1 >> sh) | (w2 << (32 - sh)) if sh else w1
+                t = t + lo[0] + hi[-1]
+            return acc + t
         lo, hi = hashing.rolling_kmer_hash_packed(packed_arr, K)
         lo = lo[: R * L].reshape(R, L)[:, :W].reshape(R * W)
         hi = hi[: R * L].reshape(R, L)[:, :W].reshape(R * W)
@@ -129,7 +140,7 @@ def main():
     log(f"rtt {rtt * 1e3:.1f} ms")
 
     prev = 0.0
-    for variant in ("hash", "sort", "off", "prep"):
+    for variant in ("raw", "hash", "sort", "off", "prep"):
         def window(resident, _v=variant):
             acc = jnp.uint32(0)
             for i in range(STEPS):

@@ -278,3 +278,32 @@ def test_fixed_read_len_falls_back_on_ragged_chunk():
     expect = oracle.map_kmers_to_index(arrays, fwd)
     np.testing.assert_array_equal(mapper.node_counts(), expect)
     assert mapper.n_kmers_mapped == len(fwd)
+
+
+@pytest.mark.parametrize("group", [2, 4])
+def test_stream_probe_group_widening_matches_oracle(group):
+    """group > 1 serves several adjacent chain blocks with one widened
+    one-hot tile; counts must be bit-identical, including chained tables."""
+    rng = np.random.default_rng(21)
+    keys = np.unique(rng.integers(0, 1 << 62, 4000, dtype=np.uint64))
+    n_buckets = layout._next_pow2(int(np.ceil(len(keys) / layout.BUCKET_KEYS / 0.8)))
+    table = layout.build_table(keys, n_buckets=n_buckets)
+    assert table.max_probe > 1
+    queries = np.concatenate([keys, rng.integers(0, 1 << 62, 1500, dtype=np.uint64)])
+    valid = rng.random(len(queries)) < 0.9
+    qlo, qhi = split_u64(queries)
+    sm_lo, sm_hi = stream_probe.sort_queries(
+        jnp.asarray(qlo), jnp.asarray(qhi), jnp.asarray(valid),
+        table.n_buckets, table.seed,
+    )
+    bpb = min(layout.CHAIN_BLOCK, table.n_buckets)
+    off = stream_probe.block_offsets(sm_lo, table.n_buckets, bpb)
+    out = stream_probe.stream_count(
+        jnp.asarray(table.key_lo),
+        jnp.asarray(table.key_hi),
+        jnp.zeros(table.n_slots, jnp.uint32),
+        sm_lo, sm_hi, off, table.max_probe,
+        cap=256, interpret=True, group=group,
+        block_probe=jnp.asarray(table.block_max_probe()),
+    )
+    np.testing.assert_array_equal(np.asarray(out), _expect(table, queries, valid))
