@@ -17,11 +17,13 @@ Two device probe strategies share this one layout:
   optimum on v5e: row gathers up to 8 x uint32 cost ~6 ns flat; 16-wide rows
   are 4x worse, hence two 8-wide planes rather than one 16-wide row).
 
-Buckets hold 8 keys; bucket ids come from a murmur-mixed hash over a
-power-of-two bucket count (no 64-bit modulo anywhere — TPU has no native
-int64; keys are (lo, hi) uint32 pairs, empty sentinel 0xFFFFFFFF^2 is
-unreachable for k <= 31). The default load factor keeps chains rare so the
-recorded ``max_probe`` stays small. Build is vectorized host numpy.
+Buckets hold 8 keys; slots store the BIJECTIVELY MIXED key words
+(``u32hash.feistel_mix`` — no 64-bit modulo anywhere; TPU has no native
+int64), and the bucket id is the high bits of the mixed low word, so the
+query sort needs only two operands. The empty sentinel is the all-ones mixed
+pair; a key mixing to it reseeds the build (probability ~n/2^64). The default
+load factor keeps chains rare so the recorded ``max_probe`` stays small.
+Build is vectorized host numpy.
 """
 from __future__ import annotations
 

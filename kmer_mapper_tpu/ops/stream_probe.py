@@ -3,8 +3,11 @@
 Replaces random-access hash probing (and its scatter-add counterpart) with
 streaming — the shape TPUs are built for:
 
-1. Queries are sorted by bucket id (one multi-operand XLA sort; invalid
-   windows get bucket 0xFFFFFFFF and fall off the end).
+1. Queries are bijectively mixed (``u32hash.feistel_mix``) and sorted by the
+   mixed low word — a TWO-operand XLA sort, since the bucket id is the key's
+   high bits and the table stores mixed words (lax.sort costs ~1.2 ns/elem
+   per operand on v5e; the old (bucket, lo, hi) sort was 50% dearer).
+   Invalid windows become the all-ones word pair and sort to the tail.
 2. a vectorized bisection finds each CHAIN_BLOCK-aligned table block's query
    range, and a flat (tile -> block, probe round, DMA offset) schedule is
    precomputed.

@@ -61,10 +61,24 @@ def make_sharded_step(
     def local_step(counts, key_lo, key_hi, packed, lengths, n_bases):
         x = jax.lax.axis_index(INDEX_AXIS)
         row_offset = (x * nb_local).astype(jnp.int32)
-        lengths_i = lengths[0].astype(jnp.int32)
-        starts = jnp.cumsum(lengths_i) - lengths_i
-        valid = hashing.window_mask(starts, n_bases[0], k, buf)
-        n_valid = jnp.sum(valid.astype(jnp.uint32))
+        lo, hi = hashing.rolling_kmer_hash_packed(packed[0], k)
+        if config.read_len:
+            # fixed-length reads: slice the static valid-window pattern (same
+            # fast path as the single-chip chunk_step)
+            L = config.read_len
+            R, W = buf // L, L - k + 1
+            n_reads = n_bases[0] // jnp.int32(L)
+            lo = lo[: R * L].reshape(R, L)[:, :W].reshape(R * W)
+            hi = hi[: R * L].reshape(R, L)[:, :W].reshape(R * W)
+            valid = (
+                jax.lax.broadcasted_iota(jnp.int32, (R, W), 0) < n_reads
+            ).reshape(R * W)
+            n_valid = (n_reads * W).astype(jnp.uint32)
+        else:
+            lengths_i = lengths[0].astype(jnp.int32)
+            starts = jnp.cumsum(lengths_i) - lengths_i
+            valid = hashing.window_mask(starts, n_bases[0], k, buf)
+            n_valid = jnp.sum(valid.astype(jnp.uint32))
         c = counts[0]
 
         if config.probe == "stream":
@@ -116,7 +130,6 @@ def make_sharded_step(
                 )
                 return accumulate(c, bucket, mask, valid)
 
-        lo, hi = hashing.rolling_kmer_hash_packed(packed[0], k)
         if config.probe == "stream":
             q_lo, q_hi, q_valid = lo, hi, valid
             if config.revcomp:
@@ -186,9 +199,11 @@ class ShardedKmerMapper:
             P(DATA_AXIS, INDEX_AXIS),
         )
         block_probe = table.block_max_probe() if config.probe == "stream" else None
+        self._block_probe = block_probe
         self._step = make_sharded_step(
             mesh, config, table.n_buckets, table.max_probe, table.seed, block_probe
         )
+        self._ragged_step = None  # lazy twin for batches that break read_len
         self._stats: list = []
         self._total_kmers = 0
         self.n_invalid_bases = 0
@@ -204,7 +219,24 @@ class ShardedKmerMapper:
     ) -> None:
         """packed uint32[D, packed_words], lengths uint16[D, max_reads],
         n_bases int32[D]. Short final batches are padded with empty rows."""
-        self.counts, n_valid = self._step(
+        step = self._step
+        if self.config.read_len and not self._batch_is_fixed(
+            lengths_batch, n_bases
+        ):
+            if self._ragged_step is None:
+                import dataclasses
+
+                cfg = dataclasses.replace(self.config, read_len=0)
+                self._ragged_step = make_sharded_step(
+                    self.mesh,
+                    cfg,
+                    self.index.table.n_buckets,
+                    self.index.table.max_probe,
+                    self.index.table.seed,
+                    self._block_probe,
+                )
+            step = self._ragged_step
+        self.counts, n_valid = step(
             self.counts,
             self.key_lo,
             self.key_hi,
@@ -214,6 +246,19 @@ class ShardedKmerMapper:
         )
         self._stats.append(n_valid)
         self.n_invalid_bases += n_invalid
+
+    def _batch_is_fixed(self, lengths_batch, n_bases) -> bool:
+        """Every row is whole reads of config.read_len (empty rows allowed)."""
+        L = self.config.read_len
+        lengths_batch = np.asarray(lengths_batch)
+        for ln, nb in zip(lengths_batch, np.asarray(n_bases)):
+            nb = int(nb)
+            if nb % L:
+                return False
+            n = nb // L
+            if not (np.all(ln[:n] == L) and not np.any(ln[n:])):
+                return False
+        return True
 
     @property
     def n_kmers_mapped(self) -> int:

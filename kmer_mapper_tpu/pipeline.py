@@ -267,14 +267,29 @@ def map_file_sharded(
     index = load_index(index)
     mesh = make_mesh(n_devices=n_devices, index_parallel=index_parallel)
     buf = _round_up(min(max(chunk_size, _buf_floor()), 64 << 20), 1 << 13)
-    config = default_config(
+    make_config = lambda read_len: default_config(  # noqa: E731
         k=k,
         buf=buf,
         max_reads=max(1024, buf // 32),
         revcomp=map_reverse_complements,
+        read_len=read_len,
     )
+    config = make_config(0)
+    packed = iter(packed_chunk_iterator(reads_path, config, chunk_size))
+    # same uniform-read-length detection as map_file; batches that break
+    # uniformity later take the sharded mapper's ragged twin step
+    first = next(packed, None)
+    read_len = 0
+    if first is not None:
+        _, lengths0, n_bases0, n_reads0, _ = first
+        L = int(lengths0[0]) if n_reads0 else 0
+        if L >= k and n_bases0 == n_reads0 * L and np.all(lengths0[:n_reads0] == L):
+            read_len = L
+        import itertools
+
+        packed = itertools.chain([first], packed)
+        config = make_config(read_len)
     mapper = ShardedKmerMapper(index, config, mesh)
-    packed = packed_chunk_iterator(reads_path, config, chunk_size)
     batches = batch_packed_chunks(
         packed, mapper.n_data, config.packed_words, config.max_reads
     )

@@ -304,3 +304,58 @@ def test_map_file_mixed_reads_stays_ragged(tmp_path):
     assert mapper.config.read_len == 0
     got = pipeline.map_file(index, reads_path, k=k, chunk_size=1 << 14)
     np.testing.assert_array_equal(got, _oracle_counts(arrays, reads, k))
+
+
+def test_map_file_sharded_uniform_reads_fixed_path(tmp_path):
+    """Uniform-length reads through the sharded mesh path auto-select the
+    fixed read_len step; counts stay bit-exact vs oracle."""
+    k, L = 9, 36
+    rng = np.random.default_rng(31)
+    reads = ["".join(rng.choice(list("ACGT"), L)) for _ in range(160)]
+    arrays = _index_from_reads(rng, reads, k)
+    reads_path = _write_fasta(tmp_path / "uniform.fa", reads)
+    got = pipeline.map_file_sharded(
+        ki.TpuKmerIndex.from_arrays(arrays),
+        reads_path,
+        k=k,
+        chunk_size=1 << 16,
+        n_devices=4,
+        index_parallel=2,
+    )
+    np.testing.assert_array_equal(got, _oracle_counts(arrays, reads, k))
+
+
+def test_sharded_mapper_ragged_batch_falls_back(tmp_path):
+    """A sharded mapper compiled with read_len must take the ragged twin for
+    batches that break uniformity and still count exactly."""
+    import jax
+
+    from kmer_mapper_tpu.models.mapper import default_config
+    from kmer_mapper_tpu.parallel import (
+        ShardedKmerMapper, batch_packed_chunks, make_mesh,
+    )
+    from kmer_mapper_tpu.io import readers
+
+    k, L = 9, 30
+    rng = np.random.default_rng(33)
+    uniform = ["".join(rng.choice(list("ACGT"), L)) for _ in range(60)]
+    ragged = _make_reads(rng, n=60)
+    arrays = _index_from_reads(rng, uniform + ragged, k)
+    index = ki.TpuKmerIndex.from_arrays(arrays)
+    mesh = make_mesh(n_devices=4, index_parallel=2)
+    config = default_config(k=k, buf=1 << 13, max_reads=256, read_len=L)
+    mapper = ShardedKmerMapper(index, config, mesh)
+    for reads in (uniform, ragged):
+        flat = "".join(reads)
+        chunk = readers.SequenceChunk(
+            bases=np.frombuffer(flat.encode(), dtype=np.uint8),
+            read_starts=np.cumsum([0] + [len(s) for s in reads[:-1]]).astype(np.int64),
+        )
+        packed = readers.pack_for_device(iter([chunk]), config.buf, config.max_reads, k)
+        for batch in batch_packed_chunks(packed, mapper.n_data, config.packed_words,
+                                         config.max_reads):
+            mapper.map_batch(*batch)
+    assert mapper._ragged_step is not None
+    np.testing.assert_array_equal(
+        mapper.node_counts(), _oracle_counts(arrays, uniform + ragged, k)
+    )
