@@ -32,7 +32,7 @@ import logging
 
 import numpy as np
 
-from ..ops.u32hash import bucket_shift, feistel_mix, split_u64
+from ..ops.u32hash import bucket_from_mlo, feistel_mix, split_u64
 
 logger = logging.getLogger(__name__)
 
@@ -89,7 +89,7 @@ class TableArrays:
             lo, hi = self.key_words()
             occupied = ~((lo == EMPTY) & (hi == EMPTY))
             slot_bucket = np.arange(self.n_slots, dtype=np.int64) // BUCKET_KEYS
-            home = (lo >> np.uint32(bucket_shift(self.n_buckets))).astype(np.int64)
+            home = bucket_from_mlo(lo, self.n_buckets).astype(np.int64)
             dist = (slot_bucket - home) & (block - 1)
             dist = np.where(occupied, dist, 0)
             n_blocks = self.n_buckets // block
@@ -143,7 +143,7 @@ def _try_build(keys: np.ndarray, n_buckets: int, seed: int):
     lo, hi = feistel_mix(*split_u64(keys), seed=seed)
     if n and np.any((lo == EMPTY) & (hi == EMPTY)):
         return None  # mixed key equals the empty-slot sentinel: reseed
-    b = (lo >> np.uint32(bucket_shift(n_buckets))).astype(np.int64)
+    b = bucket_from_mlo(lo, n_buckets).astype(np.int64)
 
     key_lo = np.full((n_buckets, BUCKET_KEYS), EMPTY, dtype=np.uint32)
     key_hi = np.full((n_buckets, BUCKET_KEYS), EMPTY, dtype=np.uint32)
@@ -185,7 +185,7 @@ def query_table(table: TableArrays, kmers: np.ndarray) -> np.ndarray:
     # a query whose mixed words equal the sentinel can only "match" empty
     # slots (the build reseeds if an index key mixes to it) — mask it
     real = ~((lo == EMPTY) & (hi == EMPTY))
-    b0 = (lo >> np.uint32(bucket_shift(table.n_buckets))).astype(np.int64)
+    b0 = bucket_from_mlo(lo, table.n_buckets).astype(np.int64)
     out = np.full(len(kmers), -1, dtype=np.int64)
     for p in range(table.max_probe):
         b = chain_next(b0, p, table.n_buckets)

@@ -161,6 +161,18 @@ def make_step(config: MapperConfig, max_probe: int, seed: int, block_probe=None)
     return jax.jit(scanned, donate_argnums=(2,))
 
 
+def chunk_is_fixed(lengths, n_bases, read_len: int) -> bool:
+    """True iff the chunk is exactly n whole reads of ``read_len`` (so the
+    fixed-stride window slicing in chunk_step is valid). Shared by the
+    single-chip and sharded mappers' fast-path checks."""
+    nb = int(n_bases)
+    if nb % read_len:
+        return False
+    n = nb // read_len
+    lengths = np.asarray(lengths)
+    return bool(np.all(lengths[:n] == read_len)) and not np.any(lengths[n:])
+
+
 def default_config(**kwargs) -> MapperConfig:
     """MapperConfig with backend-appropriate defaults: the stream kernel runs
     compiled on TPU and in interpreter mode elsewhere (CPU tests/fallback)."""
@@ -208,15 +220,7 @@ class KmerMapper:
         self._hash_steps: dict = {}  # padded-length -> jitted map_hashes step
 
     def _chunk_is_fixed(self, lengths, n_bases: int) -> bool:
-        """True iff the chunk is exactly n whole reads of config.read_len
-        (so the fixed-stride window slicing in chunk_step is valid)."""
-        L = self.config.read_len
-        nb = int(n_bases)
-        if nb % L:
-            return False
-        n = nb // L
-        lengths = np.asarray(lengths)
-        return bool(np.all(lengths[:n] == L)) and not np.any(lengths[n:])
+        return chunk_is_fixed(lengths, n_bases, self.config.read_len)
 
     def reset_counts(self) -> None:
         """Zero the accumulated state so one device-resident table can serve

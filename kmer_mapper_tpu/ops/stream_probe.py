@@ -327,8 +327,12 @@ def _kernel(
         pos = base_j + lane_pos  # (1, cap)
         qm_lo = q_s[slot, 0:1, :]
         qm_hi = q_s[slot, 1:2, :]
-        # bucket id = high bits of the mixed low word (no bucket operand)
-        qb = (qm_lo >> jnp.uint32(min(shift, 31))).astype(jnp.int32)
+        # bucket id = high bits of the mixed low word (no bucket operand);
+        # a single-bucket table (shift 32) has bucket id 0 for every query
+        if shift >= 32:
+            qb = jnp.zeros(qm_lo.shape, jnp.int32)
+        else:
+            qb = (qm_lo >> jnp.uint32(shift)).astype(jnp.int32)
         live = (pos >= start) & (pos < end)
         local_b = qb - base_bucket  # (1, cap), in [0, gpb) when live
         live = live & (local_b >= 0) & (local_b < gpb)
@@ -388,7 +392,8 @@ def stream_count(
     bucket_base=0,  # shard-local tables: global bucket id of local bucket 0
     chain_block: int | None = None,  # build-time chain block (global tables: auto)
     block_probe=None,  # int32[n_blocks] per-block chain bound (None: max_probe)
-    coarse: int = DEFAULT_COARSE,  # chain blocks folded into one grid step
+    coarse: int = 0,  # chain blocks folded into one grid step (0 = DEFAULT_COARSE,
+    # resolved at call time so sweeps can override the module default)
     n_buckets_global: int | None = None,  # sharded tables: global bucket count
     group: int = 0,  # adjacent chain blocks served by one widened one-hot
     # tile (0 = DEFAULT_GROUP): boundary tiles between grouped blocks are
@@ -411,6 +416,7 @@ def stream_count(
     # tile strides to preserve the window base's alignment
     assert cap % min(ALIGN, cap) == 0, f"cap must be a multiple of {ALIGN} (or < {ALIGN})"
     n_blocks = n_local // bpb
+    coarse = coarse or DEFAULT_COARSE
     group = group or DEFAULT_GROUP
     group = max(1, min(group, n_blocks))
     while n_blocks % group:
@@ -539,7 +545,7 @@ def stream_probe_count(
     cap: int = DEFAULT_CAP,
     interpret: bool = False,
     block_probe=None,
-    coarse: int = DEFAULT_COARSE,
+    coarse: int = 0,
     group: int = 0,
 ):
     """Full stream path: sort -> block offsets -> stream kernel."""

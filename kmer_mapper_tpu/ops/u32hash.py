@@ -80,12 +80,20 @@ def bucket_shift(n_buckets: int) -> int:
     return 32 - (n_buckets - 1).bit_length() if n_buckets > 1 else 32
 
 
-def bucket_of(lo, hi, n_buckets: int, seed: int = 0, xp=np):
-    """Bucket id in [0, n_buckets); n_buckets must be a power of two."""
+def bucket_from_mlo(m_lo, n_buckets: int, xp=np):
+    """Bucket id from an already-mixed low word (high bits; single-bucket
+    tables shift by 32, which C/XLA leave undefined — return 0 instead)."""
     shift = bucket_shift(n_buckets)
     if shift >= 32:  # single bucket
-        return xp.uint32(0) * lo
-    return feistel_mix(lo, hi, seed=seed, xp=xp)[0] >> xp.uint32(shift)
+        return xp.uint32(0) * m_lo
+    return m_lo >> xp.uint32(shift)
+
+
+def bucket_of(lo, hi, n_buckets: int, seed: int = 0, xp=np):
+    """Bucket id in [0, n_buckets); n_buckets must be a power of two."""
+    return bucket_from_mlo(
+        feistel_mix(lo, hi, seed=seed, xp=xp)[0], n_buckets, xp=xp
+    )
 
 
 def split_u64(kmers: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -19,7 +19,7 @@ from jax.sharding import PartitionSpec as P
 
 from ..index import layout
 from ..index.kmer_index import TpuKmerIndex
-from ..models.mapper import MapperConfig
+from ..models.mapper import MapperConfig, chunk_is_fixed
 from ..ops import hashing, probe, stream_probe
 from .mesh import DATA_AXIS, INDEX_AXIS
 
@@ -249,16 +249,10 @@ class ShardedKmerMapper:
 
     def _batch_is_fixed(self, lengths_batch, n_bases) -> bool:
         """Every row is whole reads of config.read_len (empty rows allowed)."""
-        L = self.config.read_len
-        lengths_batch = np.asarray(lengths_batch)
-        for ln, nb in zip(lengths_batch, np.asarray(n_bases)):
-            nb = int(nb)
-            if nb % L:
-                return False
-            n = nb // L
-            if not (np.all(ln[:n] == L) and not np.any(ln[n:])):
-                return False
-        return True
+        return all(
+            chunk_is_fixed(ln, nb, self.config.read_len)
+            for ln, nb in zip(np.asarray(lengths_batch), np.asarray(n_bases))
+        )
 
     @property
     def n_kmers_mapped(self) -> int:

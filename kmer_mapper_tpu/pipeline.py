@@ -210,13 +210,7 @@ def make_mapper_and_chunks(
     )
     chunks = iter(packed_chunk_iterator(reads_path, make_config(0), chunk_size))
     first = next(chunks, None)
-    read_len = 0
-    if first is not None:
-        _, lengths, n_bases, n_reads, _ = first
-        L = int(lengths[0]) if n_reads else 0
-        if L >= k and n_bases == n_reads * L and np.all(lengths[:n_reads] == L):
-            read_len = L
-    mapper = KmerMapper(index, make_config(read_len), device=device)
+    mapper = KmerMapper(index, make_config(_detect_read_len(first, k)), device=device)
     if first is None:
         return mapper, iter(())
     import itertools
@@ -279,16 +273,11 @@ def map_file_sharded(
     # same uniform-read-length detection as map_file; batches that break
     # uniformity later take the sharded mapper's ragged twin step
     first = next(packed, None)
-    read_len = 0
     if first is not None:
-        _, lengths0, n_bases0, n_reads0, _ = first
-        L = int(lengths0[0]) if n_reads0 else 0
-        if L >= k and n_bases0 == n_reads0 * L and np.all(lengths0[:n_reads0] == L):
-            read_len = L
         import itertools
 
         packed = itertools.chain([first], packed)
-        config = make_config(read_len)
+        config = make_config(_detect_read_len(first, k))
     mapper = ShardedKmerMapper(index, config, mesh)
     batches = batch_packed_chunks(
         packed, mapper.n_data, config.packed_words, config.max_reads
@@ -338,6 +327,19 @@ def map_sequences(
     ):
         mapper.map_chunk(packed, lengths, n_bases, n_invalid)
     return mapper.node_counts(max_frequency=max_frequency)
+
+
+def _detect_read_len(first_chunk, k: int) -> int:
+    """Uniform read length of a packed chunk (0 if ragged/empty/too short):
+    decides whether the step compiles with the fixed-read_len window slicing
+    (the Illumina case; see MapperConfig.read_len)."""
+    if first_chunk is None:
+        return 0
+    _, lengths, n_bases, n_reads, _ = first_chunk
+    L = int(lengths[0]) if n_reads else 0
+    if L >= k and n_bases == n_reads * L and np.all(lengths[:n_reads] == L):
+        return L
+    return 0
 
 
 def _buf_floor() -> int:

@@ -1,4 +1,9 @@
-"""CHAIN_BLOCK / cap sweep for stream kernel v2 on real TPU.
+"""FROZEN round-2 measurement artifact: written against the pre-mixed-key
+stream API (3-operand sort_queries / stream_count); kept for the measurement
+record, NOT runnable against the current code. Round-3 equivalents:
+r3_s_dissect.py, r3_true_window.py, r3_composed_sweep.py.
+
+CHAIN_BLOCK / cap sweep for stream kernel v2 on real TPU.
 
 Round-1 swept CHAIN_BLOCK with the old kernel (3 DMAs/tile, global tiles) and
 locked 128; the v2 dissection showed per-block fixed cost (15.4 ms empty

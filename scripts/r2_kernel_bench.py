@@ -1,4 +1,9 @@
-"""Round-2 kernel experiment: exact-window fused-DMA kernel, coarse sweep.
+"""FROZEN round-2 measurement artifact: written against the pre-mixed-key
+stream API (3-operand sort_queries / stream_count); kept for the measurement
+record, NOT runnable against the current code. Round-3 equivalents:
+r3_s_dissect.py, r3_true_window.py, r3_composed_sweep.py.
+
+Round-2 kernel experiment: exact-window fused-DMA kernel, coarse sweep.
 
 Measures the new stream kernel (exact per-block query windows + fused (3,cap)
 DMA + coarse grid) at the production config: 16.8M queries, 4M-unique-key

@@ -1,4 +1,9 @@
-"""Dissect the stream kernel's per-iteration cost on real TPU hardware.
+"""FROZEN round-2 measurement artifact: written against the pre-mixed-key
+stream API (3-operand sort_queries / stream_count); kept for the measurement
+record, NOT runnable against the current code. Round-3 equivalents:
+r3_s_dissect.py, r3_true_window.py, r3_composed_sweep.py.
+
+Dissect the stream kernel's per-iteration cost on real TPU hardware.
 
 Compiles variants of the kernel with pieces removed to attribute the measured
 ~1.2 us/iteration (40 ms / ~34k iterations at the production config):

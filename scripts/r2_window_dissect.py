@@ -1,4 +1,9 @@
-"""In-context kernel dissection: variants measured inside the composed
+"""FROZEN round-2 measurement artifact: written against the pre-mixed-key
+stream API (3-operand sort_queries / stream_count); kept for the measurement
+record, NOT runnable against the current code. Round-3 equivalents:
+r3_s_dissect.py, r3_true_window.py, r3_composed_sweep.py.
+
+In-context kernel dissection: variants measured inside the composed
 8-chunk window (standalone kernel chains measured ~2x inflated — ground truth
 is the window). Variants: full / nomm1 (no gather matmul+compares) / nodma /
 empty (zero-trip loops)."""

@@ -1,4 +1,9 @@
-"""What is exposed in the composed window? Times the 8-step window with the
+"""FROZEN round-2 measurement artifact: written against the pre-mixed-key
+stream API (3-operand sort_queries / stream_count); kept for the measurement
+record, NOT runnable against the current code. Round-3 equivalents:
+r3_s_dissect.py, r3_true_window.py, r3_composed_sweep.py.
+
+What is exposed in the composed window? Times the 8-step window with the
 Pallas kernel REMOVED (sort + offsets + schedule + hash only): the difference
 to the full window is the kernel's exposed cost; the floor shows how much of
 the sort XLA fails to hide."""

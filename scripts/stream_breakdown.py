@@ -1,4 +1,9 @@
-"""Per-stage device timing at the production configuration (16Mi-base chunks).
+"""FROZEN round-2 measurement artifact: written against the pre-mixed-key
+stream API (3-operand sort_queries / stream_count); kept for the measurement
+record, NOT runnable against the current code. Round-3 equivalents:
+r3_s_dissect.py, r3_true_window.py, r3_composed_sweep.py.
+
+Per-stage device timing at the production configuration (16Mi-base chunks).
 Chained in-jit, scalar-fetch timing (see CLAUDE.md measurement gotchas)."""
 import sys; sys.path.insert(0, "/root/repo")
 import time, numpy as np, jax, jax.numpy as jnp
