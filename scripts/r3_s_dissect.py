@@ -79,16 +79,26 @@ def main():
     n_blocks = table.n_buckets // 128
 
     def stage(variant, acc, packed_arr, n_bases):
-        if variant == "raw":
-            # phases without the minor-dim-16 stack/reshape interleave
+        if variant in ("interleave", "phasemajor"):
+            # isolate the minor-dim-16 stack/reshape relayout: same phase
+            # compute, output either interleaved (the real hash's layout) or
+            # phase-major concat (no relayout); XOR-reduced so nothing DCEs
             w0, w1, w2 = packed_arr[:-2], packed_arr[1:-1], packed_arr[2:]
-            t = jnp.uint32(0)
+            los, his = [], []
             for ph in range(16):
                 sh = 2 * ph
-                lo = (w0 >> sh) | (w1 << (32 - sh)) if sh else w0
-                hi = (w1 >> sh) | (w2 << (32 - sh)) if sh else w1
-                t = t + lo[0] + hi[-1]
-            return acc + t
+                los.append((w0 >> sh) | (w1 << (32 - sh)) if sh else w0)
+                his.append((w1 >> sh) | (w2 << (32 - sh)) if sh else w1)
+            if variant == "interleave":
+                lo = jnp.stack(los, axis=1).reshape(-1)
+                hi = jnp.stack(his, axis=1).reshape(-1)
+            else:
+                lo = jnp.concatenate(los)
+                hi = jnp.concatenate(his)
+            red = jax.lax.reduce(
+                lo ^ hi, jnp.uint32(0), jax.lax.bitwise_xor, (0,)
+            )
+            return acc + red
         lo, hi = hashing.rolling_kmer_hash_packed(packed_arr, K)
         lo = lo[: R * L].reshape(R, L)[:, :W].reshape(R * W)
         hi = hi[: R * L].reshape(R, L)[:, :W].reshape(R * W)
@@ -140,7 +150,7 @@ def main():
     log(f"rtt {rtt * 1e3:.1f} ms")
 
     prev = 0.0
-    for variant in ("raw", "hash", "sort", "off", "prep"):
+    for variant in ("phasemajor", "interleave", "hash", "sort", "off", "prep"):
         def window(resident, _v=variant):
             acc = jnp.uint32(0)
             for i in range(STEPS):
