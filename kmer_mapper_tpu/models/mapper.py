@@ -182,8 +182,10 @@ def default_config(**kwargs) -> MapperConfig:
         kwargs.setdefault("interpret", not on_tpu)
         if on_tpu:
             # CSE-free round-3 sweep on v5e (16 Mi buffers, mixed-key sort):
-            # cap 2048 beats 4096 (286 vs 254 Mk/s)
-            kwargs.setdefault("stream_cap", 2048)
+            # 1024/1792/2048/4096 measure 272/292/286/254 Mk/s — tiles sized
+            # just above the ~1700 mean queries per chain block waste the
+            # least tail
+            kwargs.setdefault("stream_cap", 1792)
     # super_batch deliberately stays 1: measured on v5e, folding chunks into a
     # lax.scan costs ~15-20% (carry handling) — larger buffers amortize better
     return MapperConfig(**kwargs)
