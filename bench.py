@@ -92,9 +92,15 @@ def main():
         f"table {table.nbytes / 1e6:.0f} MB, built in {time.perf_counter() - t:.1f}s"
     )
 
+    from kmer_mapper_tpu.models.mapper import auto_stream_cap
+
     # fixed-length synthetic reads ride the read_len fast path (the Illumina
-    # case); the pipeline auto-detects this from real files
-    config = default_config(k=K, buf=BUF, max_reads=BUF // 64, read_len=READ_LEN)
+    # case; the pipeline auto-detects this from real files), and the stream
+    # tile is auto-sized to the index's block density like KmerMapper does
+    config = default_config(
+        k=K, buf=BUF, max_reads=BUF // 64, read_len=READ_LEN,
+        stream_cap=auto_stream_cap(BUF, table.n_buckets, READ_LEN),
+    )
     packed = [
         next(iter(pack_for_device(iter([c]), config.buf, config.max_reads, K)))
         for c in chunks

@@ -161,6 +161,19 @@ def make_step(config: MapperConfig, max_probe: int, seed: int, block_probe=None)
     return jax.jit(scanned, donate_argnums=(2,))
 
 
+def auto_stream_cap(buf: int, n_buckets: int, read_len: int = 0) -> int:
+    """Stream-kernel tile size fitted to the expected queries per chain
+    block. The CSE-free v5e sweep (16 Mi chunks, 8192 blocks, ~1700 queries
+    per block) measured 272/292/286/254 Mkmers/s at caps 1024/1792/2048/4096
+    — a tile sized just above the per-block mean wastes the least tail, and
+    the mean scales with chunk size over block count."""
+    n_blocks = max(1, n_buckets // 128)
+    valid_frac = (read_len - 30) / read_len if read_len > 30 else 0.8
+    mean_q = buf * valid_frac / n_blocks
+    cap = int(np.ceil(mean_q * 1.05 / 128.0)) * 128
+    return max(512, min(8192, cap))
+
+
 def chunk_is_fixed(lengths, n_bases, read_len: int) -> bool:
     """True iff the chunk is exactly n whole reads of ``read_len`` (so the
     fixed-stride window slicing in chunk_step is valid). Shared by the
@@ -180,12 +193,8 @@ def default_config(**kwargs) -> MapperConfig:
     kwargs.setdefault("probe", "stream" if on_tpu else "gather")
     if kwargs["probe"] == "stream":
         kwargs.setdefault("interpret", not on_tpu)
-        if on_tpu:
-            # CSE-free round-3 sweep on v5e (16 Mi buffers, mixed-key sort):
-            # 1024/1792/2048/4096 measure 272/292/286/254 Mk/s — tiles sized
-            # just above the ~1700 mean queries per chain block waste the
-            # least tail
-            kwargs.setdefault("stream_cap", 1792)
+        # stream_cap stays 0 here: KmerMapper auto-sizes it per index (the
+        # optimum tracks the mean queries per chain block — see auto_stream_cap)
     # super_batch deliberately stays 1: measured on v5e, folding chunks into a
     # lax.scan costs ~15-20% (carry handling) — larger buffers amortize better
     return MapperConfig(**kwargs)
@@ -202,6 +211,13 @@ class KmerMapper:
 
     def __init__(self, index: TpuKmerIndex, config: MapperConfig, device=None):
         self.index = index
+        if config.probe == "stream" and not config.stream_cap:
+            config = dataclasses.replace(
+                config,
+                stream_cap=auto_stream_cap(
+                    config.buf, index.table.n_buckets, config.read_len
+                ),
+            )
         self.config = config
         put = functools.partial(jax.device_put, device=device)
         self.key_lo = put(index.table.key_lo)
@@ -337,6 +353,7 @@ class KmerMapper:
                     return stream_probe.stream_probe_count(
                         key_lo, key_hi, counts, q_lo, q_hi, q_valid,
                         table.seed, table.max_probe, block_probe=block_probe,
+                        cap=auto_stream_cap(npad, table.n_buckets),
                         interpret=self.config.interpret,
                     )
 

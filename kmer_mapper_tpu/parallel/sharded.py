@@ -19,7 +19,7 @@ from jax.sharding import PartitionSpec as P
 
 from ..index import layout
 from ..index.kmer_index import TpuKmerIndex
-from ..models.mapper import MapperConfig, chunk_is_fixed
+from ..models.mapper import MapperConfig, auto_stream_cap, chunk_is_fixed
 from ..ops import hashing, probe, stream_probe
 from .mesh import DATA_AXIS, INDEX_AXIS
 
@@ -184,6 +184,17 @@ class ShardedKmerMapper:
 
     def __init__(self, index: TpuKmerIndex, config: MapperConfig, mesh: Mesh):
         self.index = index
+        if config.probe == "stream" and not config.stream_cap:
+            # queries per LOCAL block still follow the GLOBAL block count
+            # (each shard owns a bucket range of the same density)
+            import dataclasses
+
+            config = dataclasses.replace(
+                config,
+                stream_cap=auto_stream_cap(
+                    config.buf, index.table.n_buckets, config.read_len
+                ),
+            )
         self.config = config
         self.mesh = mesh
         self.n_data = mesh.shape[DATA_AXIS]

@@ -45,3 +45,17 @@ def test_save_load_state_roundtrip(tmp_path):
     full.map_hashes(np.concatenate([q1, q2]))
     np.testing.assert_array_equal(resumed.node_counts(), full.node_counts())
     assert resumed.n_kmers_mapped == full.n_kmers_mapped
+
+
+def test_auto_stream_cap_tracks_block_density():
+    from kmer_mapper_tpu.models.mapper import auto_stream_cap
+
+    # the measured v5e production point: 16 Mi chunk, 8192 blocks, 151bp reads
+    assert auto_stream_cap(16 << 20, 1 << 20, read_len=151) == 1792
+    # denser tables (more blocks) get smaller tiles, floor 512
+    assert auto_stream_cap(16 << 20, 1 << 23) == 512
+    # small tables with few blocks cap out at 8192
+    assert auto_stream_cap(64 << 20, 1 << 17) == 8192
+    # always a multiple of 128
+    for buf, nb in ((1 << 21, 1 << 14), (32 << 20, 1 << 21)):
+        assert auto_stream_cap(buf, nb) % 128 == 0
