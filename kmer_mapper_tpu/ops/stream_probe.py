@@ -86,7 +86,7 @@ PROBE_BITS = 3  # schedule entries pack (group << PROBE_BITS) | probe_round;
 # index/layout.py bounds chains at MAX_PROBE_LIMIT = 8 rounds, so 3 bits
 
 
-def sort_queries(q_lo, q_hi, valid, n_buckets: int, seed: int):
+def sort_queries(q_lo, q_hi, valid, n_buckets: int, seed: int, pad_to: int = 0):
     """(sorted_m_lo, sorted_m_hi): queries bijectively mixed, sorted by m_lo.
 
     The bucket id is the HIGH bits of m_lo, so this one 2-operand sort groups
@@ -95,7 +95,19 @@ def sort_queries(q_lo, q_hi, valid, n_buckets: int, seed: int):
     itself does not matter, r3_sort_width.py). Invalid queries become the
     all-ones word pair: they sort to the tail of the last bucket's range and
     are masked out of the hit test in the kernel. Unstable sort: counting is
-    order-insensitive within a bucket."""
+    order-insensitive within a bucket.
+
+    ``pad_to`` (the kernel tile size): pad with invalid entries BEFORE the
+    sort so the sorted array already carries the kernel's tail slack —
+    stream_count(tail_padded=True) then skips two full-array concatenates.
+    The pad is 2*pad_to beyond alignment: block windows are 128-aligned, so
+    the last window can overhang the last block bound by up to a tile."""
+    if pad_to:
+        n = q_lo.shape[0]
+        pad = (-n) % pad_to + 2 * pad_to
+        q_lo = jnp.concatenate([q_lo, jnp.zeros(pad, q_lo.dtype)])
+        q_hi = jnp.concatenate([q_hi, jnp.zeros(pad, q_hi.dtype)])
+        valid = jnp.concatenate([valid, jnp.zeros(pad, bool)])
     m_lo, m_hi = feistel_mix(q_lo, q_hi, seed=seed, xp=jnp)
     m_lo = jnp.where(valid, m_lo, INVALID_WORD)
     m_hi = jnp.where(valid, m_hi, INVALID_WORD)
@@ -205,9 +217,9 @@ def _kernel(
     key_lo_ref,  # VMEM (coarse * BPB, K)
     key_hi_ref,
     counts_in_ref,  # VMEM (coarse * BPB, K) uint32, aliased with output
-    q_hbm,  # ANY (4, n_padded) uint32: rows = sorted m_lo / m_hi / dead / dead
+    q_hbm,  # ANY (2, n_padded) uint32: rows = sorted m_lo / m_hi
     counts_out_ref,  # VMEM (coarse * BPB, K)
-    q_s,  # scratch VMEM (n_slots, 4, cap) multi-buffered fused query tiles
+    q_s,  # scratch VMEM (n_slots, 2, cap) multi-buffered fused query tiles
     tb_s,  # scratch VMEM (coarse * BPB, 8K) bf16: hoisted table byte planes
     sems,  # DMA semaphores (n_slots,)
     *,
@@ -255,8 +267,8 @@ def _kernel(
         return start, end, base, n_tiles
 
     def dma_at(offset, slot):
-        # one fused (4, cap) copy per tile: bucket/lo/hi rows share the
-        # offset, so three copies + three semaphore waits become one
+        # one fused (2, cap) copy per tile: both mixed-word rows share the
+        # offset, so two copies + two semaphore waits become one
         o = pl.multiple_of(offset, align)
         return pltpu.make_async_copy(
             q_hbm.at[:, pl.ds(o, cap)], q_s.at[slot], sems.at[slot]
@@ -398,6 +410,8 @@ def stream_count(
     group: int = 0,  # adjacent chain blocks served by one widened one-hot
     # tile (0 = DEFAULT_GROUP): boundary tiles between grouped blocks are
     # processed once instead of once per block
+    tail_padded: bool = False,  # sorted arrays already carry >= 2*cap of
+    # invalid tail slack (sort_queries(pad_to=cap)): skip the concat here
 ) -> jnp.ndarray:
     """counts += histogram of table hits among the sorted queries.
 
@@ -427,14 +441,15 @@ def stream_count(
     while n_groups % coarse:
         coarse //= 2
     n = sorted_m_lo.shape[0]
-    # tail padding: the last window may extend past n by up to cap; padding is
-    # the invalid all-ones pattern, masked in-kernel like real invalid queries
-    pad = (-n) % cap + cap
-    sorted_m_lo = jnp.concatenate([sorted_m_lo, jnp.full(pad, INVALID_WORD)])
-    sorted_m_hi = jnp.concatenate([sorted_m_hi, jnp.full(pad, INVALID_WORD)])
-    # 4 rows (m_lo/m_hi + two dead rows): HBM u32 arrays are sublane-tiled
-    # by 4, and DMA slices along that dim must be tile-aligned
-    q = jnp.stack([sorted_m_lo, sorted_m_hi, sorted_m_hi, sorted_m_hi])
+    if tail_padded:
+        pad = 0  # sort_queries already appended the invalid tail slack
+    else:
+        # the last window may extend past n by up to cap; padding is the
+        # invalid all-ones pattern, masked in-kernel like real invalid queries
+        pad = (-n) % cap + cap
+        sorted_m_lo = jnp.concatenate([sorted_m_lo, jnp.full(pad, INVALID_WORD)])
+        sorted_m_hi = jnp.concatenate([sorted_m_hi, jnp.full(pad, INVALID_WORD)])
+    q = jnp.stack([sorted_m_lo, sorted_m_hi])  # (2, n_padded)
     counts2d = counts.reshape(n_local, BUCKET_KEYS)
 
     if block_probe is None:
@@ -477,7 +492,7 @@ def stream_count(
         ],
         out_specs=pl.BlockSpec((coarse * gpb, BUCKET_KEYS), lambda i, off: (i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((n_slots, 4, cap), jnp.uint32),
+            pltpu.VMEM((n_slots, 2, cap), jnp.uint32),
             pltpu.VMEM((coarse * gpb, 8 * BUCKET_KEYS), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((n_slots,)),
         ],
@@ -550,9 +565,12 @@ def stream_probe_count(
 ):
     """Full stream path: sort -> block offsets -> stream kernel."""
     n_buckets = key_lo.shape[0]
-    sm_lo, sm_hi = sort_queries(q_lo, q_hi, valid, n_buckets, seed)
+    sm_lo, sm_hi = sort_queries(q_lo, q_hi, valid, n_buckets, seed, pad_to=cap)
     bpb = min(CHAIN_BLOCK, n_buckets)
     off = block_offsets(sm_lo, n_buckets, bpb)
+    # the last tile window can overhang its block bound by up to cap-1, so the
+    # top bound must leave one tile of the pre-padded tail unclaimed
+    off = jnp.minimum(off, jnp.int32(sm_lo.shape[0] - cap))
     return stream_count(
         key_lo,
         key_hi,
@@ -566,4 +584,5 @@ def stream_probe_count(
         block_probe=block_probe,
         coarse=coarse,
         group=group,
+        tail_padded=True,
     )

@@ -92,14 +92,17 @@ def make_sharded_step(
             else:
                 bp_local = None
 
+            cap = config.stream_cap or stream_probe.DEFAULT_CAP
+
             def probe_and_count_stream(c, q_lo, q_hi, q_valid):
                 sm_lo, sm_hi = stream_probe.sort_queries(
-                    q_lo, q_hi, q_valid, n_buckets, seed
+                    q_lo, q_hi, q_valid, n_buckets, seed, pad_to=cap
                 )
                 off = stream_probe.block_offsets(
                     sm_lo, n_buckets, chain_block, bucket_base=row_offset,
                     n_local=nb_local,
                 )
+                off = jnp.minimum(off, jnp.int32(sm_lo.shape[0] - cap))
                 return stream_probe.stream_count(
                     key_lo,
                     key_hi,
@@ -108,11 +111,13 @@ def make_sharded_step(
                     sm_hi,
                     off,
                     max_probe,
+                    cap=cap,
                     interpret=config.interpret,
                     bucket_base=row_offset,
                     chain_block=chain_block,
                     block_probe=bp_local,
                     n_buckets_global=n_buckets,
+                    tail_padded=True,
                 )
 
         else:

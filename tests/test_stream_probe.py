@@ -307,3 +307,30 @@ def test_stream_probe_group_widening_matches_oracle(group):
         block_probe=jnp.asarray(table.block_max_probe()),
     )
     np.testing.assert_array_equal(np.asarray(out), _expect(table, queries, valid))
+
+
+@pytest.mark.parametrize("k", [1, 5, 15, 16, 17, 31])
+def test_stream_path_k_boundaries(k):
+    """k sweep across the 16-base word boundary (k<=16: hi word is 0; the
+    mixed words still spread over both) — full chunk step vs oracle."""
+    rng = np.random.default_rng(100 + k)
+    reads = ["".join(rng.choice(list("ACGT"), rng.integers(k, k + 40)))
+             for _ in range(50)]
+    codes = [oracle.encode_string(r) for r in reads]
+    fwd = oracle.kmer_hashes_ragged(
+        np.concatenate(codes), np.array([len(r) for r in reads]), k
+    )
+    mask = np.uint64(4**k - 1) if k < 32 else np.uint64(-1)
+    entry_kmers = np.concatenate(
+        [rng.choice(fwd, 60), rng.integers(0, 1 << 62, 30, dtype=np.uint64) & mask]
+    )
+    nodes = rng.integers(0, 40, len(entry_kmers)).astype(np.int32)
+    arrays = oracle.build_kmer_index(entry_kmers, nodes, 499)
+    tpu = ki.TpuKmerIndex.from_arrays(arrays)
+    config = MapperConfig(k=k, buf=4096, max_reads=128, probe="stream",
+                          interpret=True, stream_cap=256)
+    mapper = KmerMapper(tpu, config)
+    mapper.map_chunk(*_pack_reads(reads, config))
+    np.testing.assert_array_equal(
+        mapper.node_counts(), oracle.map_kmers_to_index(arrays, fwd)
+    )
