@@ -71,6 +71,28 @@ def rolling_kmer_hash_packed(
     return lo, hi
 
 
+def select_windows_mxu(x: jnp.ndarray, R: int, L: int, W: int) -> jnp.ndarray:
+    """uint32[R*L] -> uint32[R*W]: keep the first W of every L entries.
+
+    NEGATIVE RESULT, kept for the record: replacing the XLA lane-slice
+    ``x.reshape(R, L)[:, :W]`` with this byte-plane matmul against a constant
+    (L, W) selector measured 287 vs 303 Mkmers/s composed on v5e — the 8
+    byte-plane extractions and recombination cost more than the relayout they
+    replace. chunk_step uses the plain slice. (Exactness would hold: selector
+    entries are 0/1 and byte planes < 256, both bf16-exact, f32 sums < 2^24.)"""
+    sel = jnp.zeros((L, W), jnp.float32).at[jnp.arange(W), jnp.arange(W)].set(1.0)
+    x2 = x.reshape(R, L)
+    word = None
+    for shift in (0, 8, 16, 24):
+        plane = ((x2 >> jnp.uint32(shift)) & jnp.uint32(0xFF)).astype(
+            jnp.int32
+        ).astype(jnp.float32)
+        out = jnp.dot(plane, sel, preferred_element_type=jnp.float32)
+        part = out.astype(jnp.int32).astype(jnp.uint32) << jnp.uint32(shift)
+        word = part if word is None else word | part
+    return word.reshape(R * W)
+
+
 def _reverse_2bit_fields_u32(x: jnp.ndarray) -> jnp.ndarray:
     """Reverse the 16 two-bit fields of each uint32."""
     m2 = jnp.uint32(0x33333333)
