@@ -334,3 +334,20 @@ def test_stream_path_k_boundaries(k):
     np.testing.assert_array_equal(
         mapper.node_counts(), oracle.map_kmers_to_index(arrays, fwd)
     )
+
+
+def test_cursor_schedule_with_chained_table(monkeypatch):
+    """Cursor (SMEM-fallback) mode derives (group, probe round, tile) with
+    scalar div/rem; a chained high-load table exercises rounds > 1."""
+    from kmer_mapper_tpu.ops import stream_probe as sp
+
+    rng = np.random.default_rng(88)
+    keys = np.unique(rng.integers(0, 1 << 62, 4000, dtype=np.uint64))
+    n_buckets = layout._next_pow2(int(np.ceil(len(keys) / layout.BUCKET_KEYS / 0.8)))
+    table = layout.build_table(keys, n_buckets=n_buckets)
+    assert table.max_probe > 1
+    queries = np.concatenate([keys, rng.integers(0, 1 << 62, 777, dtype=np.uint64)])
+    valid = np.ones(len(queries), bool)
+    monkeypatch.setattr(sp, "SMEM_I32_BUDGET", 200)  # force cursor mode
+    got = _run_stream(table, queries, valid, cap=256)
+    np.testing.assert_array_equal(got, _expect(table, queries, valid))
