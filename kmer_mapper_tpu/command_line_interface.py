@@ -16,11 +16,12 @@ def map_bnp(args):
     """Reference driver-signature parity (``command_line_interface.py:82-152``):
     run the mapping described by a parsed-args namespace."""
     from . import pipeline
-    from .index.kmer_index import load_index
+    from .util import _get_kmer_index_from_args
 
     import numpy as np
 
-    index = load_index(getattr(args, "kmer_index", None))
+    # -i / -b / in-memory precedence as in the reference (util.py:38-68)
+    index = _get_kmer_index_from_args(args)
     node_counts = pipeline.map_file(
         index,
         args.reads,

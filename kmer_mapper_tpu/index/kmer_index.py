@@ -222,11 +222,20 @@ class TpuKmerIndex:
                     "convert-index on the source .npz)"
                 )
             key_lo = data["table_key_lo"]
+            max_probe = int(data["table_max_probe"])
+            if not 1 <= max_probe <= layout.MAX_PROBE_LIMIT:
+                # tables built here always respect MAX_PROBE_LIMIT; a larger
+                # value means a corrupt/foreign file and would make the stream
+                # kernel's 3-bit schedule drop hits past round 8
+                raise ValueError(
+                    f"corrupt .tpuidx: table_max_probe={max_probe} outside "
+                    f"[1, {layout.MAX_PROBE_LIMIT}]"
+                )
             table = layout.TableArrays(
                 key_lo=key_lo,
                 key_hi=data["table_key_hi"],
                 n_buckets=key_lo.shape[0],
-                max_probe=int(data["table_max_probe"]),
+                max_probe=max_probe,
                 seed=int(data["table_seed"]),
             )
             return cls(

@@ -127,14 +127,19 @@ def build_table(
     n = len(unique_kmers)
     if n_buckets is None:
         n_buckets = max(4, _next_pow2(int(np.ceil(n / (BUCKET_KEYS * max_load))) or 1))
-    for attempt in range(4):
+    grew = 0
+    for attempt in range(8):
         table = _try_build(unique_kmers, n_buckets, seed)
+        if table == "sentinel":
+            seed += 13  # reseed only: a sentinel hit needs no more memory
+            continue
         if table is not None:
-            if attempt:
-                logger.info("table build grew %d time(s) to bound chains", attempt)
+            if grew:
+                logger.info("table build grew %d time(s) to bound chains", grew)
             return table
         n_buckets *= 2
         seed += 13
+        grew += 1
     raise RuntimeError("table build failed to bound probe chains")
 
 
@@ -142,7 +147,7 @@ def _try_build(keys: np.ndarray, n_buckets: int, seed: int):
     n = len(keys)
     lo, hi = feistel_mix(*split_u64(keys), seed=seed)
     if n and np.any((lo == EMPTY) & (hi == EMPTY)):
-        return None  # mixed key equals the empty-slot sentinel: reseed
+        return "sentinel"  # mixed key equals the empty-slot sentinel: reseed
     b = bucket_from_mlo(lo, n_buckets).astype(np.int64)
 
     key_lo = np.full((n_buckets, BUCKET_KEYS), EMPTY, dtype=np.uint32)

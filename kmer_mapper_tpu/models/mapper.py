@@ -161,14 +161,25 @@ def make_step(config: MapperConfig, max_probe: int, seed: int, block_probe=None)
     return jax.jit(scanned, donate_argnums=(2,))
 
 
-def auto_stream_cap(buf: int, n_buckets: int, read_len: int = 0) -> int:
+def auto_stream_cap(
+    buf: int,
+    n_buckets: int,
+    read_len: int = 0,
+    k: int = 31,
+    valid_frac: float | None = None,
+) -> int:
     """Stream-kernel tile size fitted to the expected queries per chain
     block. The CSE-free v5e sweep (16 Mi chunks, 8192 blocks, ~1700 queries
     per block) measured 272/292/286/254 Mkmers/s at caps 1024/1792/2048/4096
     — a tile sized just above the per-block mean wastes the least tail, and
-    the mean scales with chunk size over block count."""
+    the mean scales with chunk size over block count.
+
+    ``buf`` is the query-slot count before invalid-window thinning;
+    ``valid_frac`` overrides the expected valid fraction (1.0 for pre-hashed
+    query batches where every slot is a real query)."""
     n_blocks = max(1, n_buckets // 128)
-    valid_frac = (read_len - 30) / read_len if read_len > 30 else 0.8
+    if valid_frac is None:
+        valid_frac = (read_len - k + 1) / read_len if read_len > k else 0.8
     mean_q = buf * valid_frac / n_blocks
     cap = int(np.ceil(mean_q * 1.05 / 128.0)) * 128
     return max(512, min(8192, cap))
@@ -215,7 +226,7 @@ class KmerMapper:
             config = dataclasses.replace(
                 config,
                 stream_cap=auto_stream_cap(
-                    config.buf, index.table.n_buckets, config.read_len
+                    config.buf, index.table.n_buckets, config.read_len, config.k
                 ),
             )
         self.config = config
@@ -353,7 +364,9 @@ class KmerMapper:
                     return stream_probe.stream_probe_count(
                         key_lo, key_hi, counts, q_lo, q_hi, q_valid,
                         table.seed, table.max_probe, block_probe=block_probe,
-                        cap=auto_stream_cap(npad, table.n_buckets),
+                        cap=auto_stream_cap(
+                            npad, table.n_buckets, valid_frac=1.0
+                        ),
                         interpret=self.config.interpret,
                     )
 

@@ -465,12 +465,25 @@ def stream_count(
             max_rounds = max_probe
         else:
             max_rounds = max(1, int(np.asarray(block_probe).max(initial=1)))
-    max_rounds = min(max_rounds, 1 << PROBE_BITS)
+    if max_rounds > (1 << PROBE_BITS):
+        # tables built here respect layout.MAX_PROBE_LIMIT == 1 << PROBE_BITS;
+        # a larger bound means a corrupt/foreign table — clipping would
+        # silently drop hits past round 8 (the gather path would still probe
+        # them, so the two paths would diverge)
+        raise ValueError(
+            f"table max probe {max_rounds} exceeds the stream kernel's "
+            f"schedule limit {1 << PROBE_BITS}; rebuild the table or use "
+            "probe='gather'"
+        )
 
     # scalar-prefetch operands live in SMEM (~1 MB): the per-tile schedule
     # arrays only fit for small/medium tables; large tables use the in-kernel
     # while-cursor schedule
-    t_pad = max_rounds * ((n + pad) // cap + n_groups)  # static schedule bound
+    # static schedule bound: per-group tiles are ceil((end - base)/cap) with
+    # base aligned down below start, so each group can add one ceil tile AND
+    # one alignment tile beyond its query share — 2*n_groups slack (a single
+    # n_groups is not airtight against adversarial window-size patterns)
+    t_pad = max_rounds * ((n + pad) // cap + 2 * n_groups)
     base_len = 2 * n_groups + 2 + n_groups // coarse + 1
     use_meta = base_len + 2 * t_pad <= SMEM_I32_BUDGET
     if not use_meta and base_len > SMEM_I32_BUDGET:

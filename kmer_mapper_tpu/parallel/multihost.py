@@ -31,7 +31,10 @@ def initialize(coordinator_address: str | None = None, **kwargs) -> None:
     try:
         jax.distributed.initialize(coordinator_address=coordinator_address, **kwargs)
     except RuntimeError as exc:  # already initialized: keep the existing runtime
-        if "already" not in str(exc).lower():
+        msg = str(exc).lower()
+        # jax <=0.4 says "already initialized"; jax 0.9 says "should only be
+        # called once"
+        if "already" not in msg and "called once" not in msg:
             raise
 
 

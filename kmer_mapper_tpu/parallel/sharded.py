@@ -197,7 +197,7 @@ class ShardedKmerMapper:
             config = dataclasses.replace(
                 config,
                 stream_cap=auto_stream_cap(
-                    config.buf, index.table.n_buckets, config.read_len
+                    config.buf, index.table.n_buckets, config.read_len, config.k
                 ),
             )
         self.config = config
@@ -277,6 +277,31 @@ class ShardedKmerMapper:
             self._total_kmers += int(np.asarray(fetched, dtype=np.uint64).sum())
             self._stats = []
         return self._total_kmers
+
+    def save_state(self, path) -> None:
+        """Checkpoint the accumulated count shards + totals (resume long
+        multi-chip runs; mirrors ``KmerMapper.save_state``)."""
+        np.savez(
+            path,
+            counts=np.asarray(jax.device_get(self.counts)),
+            n_kmers=np.int64(self.n_kmers_mapped),
+            n_invalid=np.int64(self.n_invalid_bases),
+        )
+
+    def load_state(self, path) -> None:
+        with np.load(path, allow_pickle=False) as data:
+            counts = data["counts"]
+            if counts.shape != (self.n_data, self.index.table.n_slots):
+                raise ValueError(
+                    f"checkpoint counts shape {counts.shape} does not match "
+                    f"mesh ({self.n_data}, {self.index.table.n_slots})"
+                )
+            self.counts = jax.device_put(
+                counts, NamedSharding(self.mesh, P(DATA_AXIS, INDEX_AXIS))
+            )
+            self._stats = []
+            self._total_kmers = int(data["n_kmers"])
+            self.n_invalid_bases = int(data["n_invalid"])
 
     def node_counts(self, max_frequency: int = 1000) -> np.ndarray:
         finalize = make_finalize(self.mesh, self.index.max_node_id, max_frequency)

@@ -288,3 +288,22 @@ def test_sentinel_colliding_key_reseeds_and_stays_queryable():
     )
     out = np.asarray(out)
     assert out[slots[0]] == 2 and out.sum() == 3
+
+
+def test_tpuidx_rejects_out_of_range_max_probe(tmp_path):
+    """A .tpuidx whose table_max_probe exceeds layout.MAX_PROBE_LIMIT is a
+    corrupt/foreign file: loading must fail loudly instead of letting the
+    stream kernel's 3-bit schedule silently drop hits past round 8."""
+    rng = np.random.default_rng(11)
+    keys = np.unique(rng.integers(0, 1 << 62, 500, dtype=np.uint64))
+    nodes = rng.integers(0, 50, len(keys)).astype(np.int32)
+    tpu = ki.TpuKmerIndex.from_entries(keys, nodes)
+    path = tmp_path / "i.tpuidx.npz"
+    tpu.to_file(path)
+    with np.load(path) as data:
+        fields = {k: data[k] for k in data.files}
+    fields["table_max_probe"] = np.int64(9)
+    bad = tmp_path / "bad.tpuidx.npz"  # np.savez appends .npz itself
+    np.savez(bad, **fields)
+    with pytest.raises(ValueError, match="table_max_probe"):
+        ki.TpuKmerIndex.from_file(bad)

@@ -98,3 +98,40 @@ def test_cli_module_alias(tmp_path):
     got = map_bnp(args)
     want = oracle.map_kmers_to_index(arrays, kmers, max_node_id=int(nodes.max()))
     np.testing.assert_array_equal(got, want)
+
+
+def test_map_bnp_resolves_index_bundle(tmp_path):
+    """A reference-parity caller passing only ``-b``/``args.index_bundle``
+    (reference ``util.py:51-53``) must get the bundle's kmer_index."""
+    import io as _io
+    import zipfile
+
+    from kmer_mapper_tpu.command_line_interface import map_bnp
+    from kmer_mapper_tpu.index.kmer_index import save_reference_npz
+
+    rng = np.random.default_rng(5)
+    reads = ["".join(rng.choice(list("ACGT"), 40)) for _ in range(30)]
+    codes = [oracle.encode_string(r) for r in reads]
+    kmers = oracle.kmer_hashes_ragged(
+        np.concatenate(codes), np.array([len(c) for c in codes]), 7
+    )
+    entries = np.unique(rng.choice(kmers, 200))
+    nodes = rng.integers(0, 30, len(entries)).astype(np.int32)
+    arrays = oracle.build_kmer_index(entries, nodes, 499)
+    buf = _io.BytesIO()
+    save_reference_npz(buf, arrays)
+    bundle = tmp_path / "bundle.zip"
+    with zipfile.ZipFile(bundle, "w") as zf:
+        zf.writestr("kmer_index.npz", buf.getvalue())
+    reads_path = tmp_path / "r.fa"
+    reads_path.write_text("".join(f">r{i}\n{s}\n" for i, s in enumerate(reads)))
+    args = types.SimpleNamespace(
+        kmer_index=None,
+        index_bundle=str(bundle),
+        reads=str(reads_path),
+        kmer_size=7,
+        output_file=None,
+    )
+    got = map_bnp(args)
+    want = oracle.map_kmers_to_index(arrays, kmers, max_node_id=int(nodes.max()))
+    np.testing.assert_array_equal(got, want)

@@ -78,14 +78,57 @@ _WORKER = textwrap.dedent(
     assert jax.process_count() == n_procs, jax.process_count()
     shard = multihost.host_shard([f"f{i}" for i in range(5)])
     print("SHARD", proc_id, ",".join(shard), flush=True)
+
+    # --- real multi-host map: each host maps its read shard on its local
+    # devices, then the per-host count vectors are summed over a GLOBAL mesh
+    # (cross-process collective through the distributed runtime).
+    import tempfile
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from kmer_mapper_tpu import oracle, pipeline
+    from kmer_mapper_tpu.index import kmer_index as ki
+
+    rng = np.random.default_rng(7)  # deterministic: same data on every host
+    reads = ["".join(rng.choice(list("ACGT"), 60)) for _ in range(40)]
+    codes = [oracle.encode_string(r) for r in reads]
+    kmers = oracle.kmer_hashes_ragged(
+        np.concatenate(codes), np.array([len(c) for c in codes]), 9)
+    entries = np.unique(rng.choice(kmers, 200))
+    nodes = rng.integers(0, 30, len(entries)).astype(np.int32)
+    index = ki.TpuKmerIndex.from_entries(entries, nodes)
+
+    my_reads = multihost.host_shard(reads)
+    def write_fa(rs):
+        with tempfile.NamedTemporaryFile(
+                "w", suffix=".fa", delete=False) as f:
+            f.write("".join(f">r{j}\\n{s}\\n" for j, s in enumerate(rs)))
+            return f.name
+    local = pipeline.map_file(
+        index, write_fa(my_reads), k=9, progress=False).astype(np.uint32)
+
+    # one device per process (each process may expose several local devices)
+    per_proc = {d.process_index: d for d in reversed(jax.devices())}
+    mesh = Mesh(np.array([per_proc[p] for p in range(n_procs)]), ("hosts",))
+    g = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("hosts", None)), local[None],
+        (n_procs, len(local)))
+    merged = jax.jit(
+        lambda c: jnp.sum(c, axis=0), out_shardings=NamedSharding(mesh, P())
+    )(g)
+    expected = pipeline.map_file(
+        index, write_fa(reads), k=9, progress=False).astype(np.uint32)
+    np.testing.assert_array_equal(np.asarray(merged), expected)
+    print("MERGED_OK", proc_id, int(np.asarray(merged).sum()), flush=True)
     """
 )
 
 
-@pytest.mark.timeout(120)
 def test_two_process_distributed_smoke(tmp_path):
-    """jax.distributed rendezvous on the CPU backend: both processes must see
-    process_count == 2 and compute disjoint host shards."""
+    """jax.distributed on the CPU backend: both processes rendezvous, compute
+    disjoint host shards, map them, and reduce the node counts over a global
+    2-process mesh (real Gloo collective); the merged vector must equal the
+    single-job result."""
     with socket.socket() as s:
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
@@ -99,9 +142,12 @@ def test_two_process_distributed_smoke(tmp_path):
         if not k.startswith(("PALLAS_AXON", "AXON"))
     }
     env.update(JAX_PLATFORMS="cpu", PYTHONPATH=os.getcwd())
+    mh_path = os.path.join(
+        os.getcwd(), "kmer_mapper_tpu", "parallel", "multihost.py"
+    )
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), str(i), "2", str(port)],
+            [sys.executable, str(script), str(i), "2", str(port), mh_path],
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
             env=env,
@@ -119,18 +165,29 @@ def test_two_process_distributed_smoke(tmp_path):
             p.kill()
         pytest.skip("jax.distributed rendezvous timed out in this environment")
     if any(rc != 0 for rc, _, _ in outs):
-        msgs = "\n".join(err[-500:] for _, _, err in outs)
-        if "distributed" in msgs.lower() or "coordinator" in msgs.lower():
+        msgs = "\n".join(err[-1500:] for _, _, err in outs)
+        # skip ONLY on genuine rendezvous/environment failures — a substring
+        # like "distributed" also appears in ordinary tracebacks and once
+        # masked a real bug (round-2 verdict) as a skip
+        env_markers = ("deadline_exceeded", "unavailable: failed to connect",
+                       "connection refused", "barrier timed out")
+        if any(m in msgs.lower() for m in env_markers):
             pytest.skip(f"jax.distributed unavailable here: {msgs[-200:]}")
         raise AssertionError(msgs)
-    shards = {}
+    shards, merged_ok = {}, {}
     for rc, out, _ in outs:
         for line in out.splitlines():
             if line.startswith("SHARD"):
                 _, pid, files = (line.split(" ", 2) + [""])[:3]
                 shards[int(pid)] = set(files.split(",")) - {""}
+            elif line.startswith("MERGED_OK"):
+                _, pid, total = line.split(" ", 2)
+                merged_ok[int(pid)] = int(total)
     assert shards[0] | shards[1] == {f"f{i}" for i in range(5)}
     assert not (shards[0] & shards[1])
+    # both processes ran the global-mesh reduce and verified the merged counts
+    assert set(merged_ok) == {0, 1}
+    assert merged_ok[0] == merged_ok[1] > 0
 
 
 def test_sharded_files_merge_equals_whole_file(tmp_path):

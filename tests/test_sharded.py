@@ -151,3 +151,33 @@ def test_sharded_stream_probe_matches_oracle():
     queries = np.concatenate([fwd, oracle.revcomp_hash(fwd, k)])
     expect_rc = oracle.map_kmers_to_index(arrays, queries)
     np.testing.assert_array_equal(mapper_rc.node_counts(), expect_rc)
+
+
+def test_sharded_save_load_state_round_trip(tmp_path):
+    """Checkpoint mid-run on one mesh, resume on a fresh mapper: final counts
+    must equal the uninterrupted run (multi-chip resume parity with
+    KmerMapper.save_state/load_state)."""
+    rng = np.random.default_rng(77)
+    k = 9
+    reads, arrays, expect = _setup(rng, k)
+    mesh = make_mesh(n_devices=4, index_parallel=2)
+    config = MapperConfig(k=k, buf=1024, max_reads=64)
+    index = ki.TpuKmerIndex.from_arrays(arrays)
+
+    half = len(reads) // 2
+    mapper = ShardedKmerMapper(index, config, mesh)
+    _run(mapper, reads[:half], config)
+    ckpt = tmp_path / "state.npz"
+    mapper.save_state(ckpt)
+    kmers_at_ckpt = mapper.n_kmers_mapped
+
+    resumed = ShardedKmerMapper(index, config, mesh)
+    resumed.load_state(ckpt)
+    assert resumed.n_kmers_mapped == kmers_at_ckpt
+    _run(resumed, reads[half:], config)
+    np.testing.assert_array_equal(resumed.node_counts(), expect)
+
+    # shape mismatch (different mesh) is refused, not silently mis-sharded
+    other = ShardedKmerMapper(index, config, make_mesh(n_devices=8, index_parallel=2))
+    with pytest.raises(ValueError, match="does not match"):
+        other.load_state(ckpt)
