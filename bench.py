@@ -105,8 +105,13 @@ def main():
         next(iter(pack_for_device(iter([c]), config.buf, config.max_reads, K)))
         for c in chunks
     ]
-    key_lo = jax.device_put(table.key_lo)
-    key_hi = jax.device_put(table.key_hi)
+    if config.probe == "stream" and config.aug > 1:
+        aug_lo, aug_hi = table.aug_keys(config.aug)
+        key_lo = jax.device_put(aug_lo)
+        key_hi = jax.device_put(aug_hi)
+    else:
+        key_lo = jax.device_put(table.key_lo)
+        key_hi = jax.device_put(table.key_hi)
     counts = jax.device_put(jnp.zeros(table.n_slots, dtype=jnp.uint32))
     resident = [
         (jax.device_put(p), jax.device_put(ln), jnp.int32(nb))

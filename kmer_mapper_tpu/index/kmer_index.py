@@ -223,13 +223,14 @@ class TpuKmerIndex:
                 )
             key_lo = data["table_key_lo"]
             max_probe = int(data["table_max_probe"])
-            if not 1 <= max_probe <= layout.MAX_PROBE_LIMIT:
-                # tables built here always respect MAX_PROBE_LIMIT; a larger
-                # value means a corrupt/foreign file and would make the stream
-                # kernel's 3-bit schedule drop hits past round 8
+            if not 1 <= max_probe <= layout.MAX_PROBE_HARD:
+                # no build configuration produces chains this deep: a value
+                # outside the hard bound means a corrupt/foreign file (the
+                # stream kernel additionally checks that its schedule covers
+                # max_probe at the configured chain augmentation)
                 raise ValueError(
                     f"corrupt .tpuidx: table_max_probe={max_probe} outside "
-                    f"[1, {layout.MAX_PROBE_LIMIT}]"
+                    f"[1, {layout.MAX_PROBE_HARD}]"
                 )
             table = layout.TableArrays(
                 key_lo=key_lo,

@@ -42,7 +42,12 @@ EMPTY = np.uint32(0xFFFFFFFF)
 DEFAULT_MAX_LOAD = 0.5  # round-3 sweep: 0.5 beats 0.3 composed on v5e (half
 # the chain blocks -> half the table DMA and per-block tile floor; the extra
 # chain rounds are scheduled per block and stay cheap)
-MAX_PROBE_LIMIT = 8  # rebuild bigger if a chain would exceed this
+MAX_PROBE_LIMIT = 8  # default chain bound: rebuild bigger if a chain would
+# exceed this. The stream kernel schedules ceil(chain/aug) rounds with a
+# 3-bit scheduled-round field, so denser tables built with a higher
+# ``max_probe_limit`` (up to aug << 3) are valid when probed with matching
+# chain augmentation (aug_keys); MAX_PROBE_HARD bounds any loadable table.
+MAX_PROBE_HARD = 64
 
 
 @dataclasses.dataclass
@@ -99,6 +104,28 @@ class TableArrays:
             self._block_probe = (per_block + 1).astype(np.int32)
         return self._block_probe
 
+    def aug_keys(self, aug: int) -> tuple[np.ndarray, np.ndarray]:
+        """Chain-augmented key arrays: uint32[n_buckets, aug * BUCKET_KEYS]
+        where column group ``h`` holds the keys of bucket ``chain_next(b, h)``.
+
+        The stream kernel compares a query against all ``aug`` chained buckets
+        in ONE tile (exact 62-bit compares make over-covering sound — a key is
+        stored once, so extra compares can only find the true slot), so a
+        block with chain bound R needs ceil(R / aug) scheduled rounds instead
+        of R. The roll wraps inside CHAIN_BLOCK-aligned blocks, exactly like
+        ``chain_next``."""
+        block = min(CHAIN_BLOCK, self.n_buckets)
+        out = []
+        for arr in (self.key_lo, self.key_hi):
+            blocked = arr.reshape(self.n_buckets // block, block, BUCKET_KEYS)
+            halves = [np.roll(blocked, -h, axis=1) for h in range(aug)]
+            out.append(
+                np.concatenate(halves, axis=2).reshape(
+                    self.n_buckets, aug * BUCKET_KEYS
+                )
+            )
+        return out[0], out[1]
+
 
 def _next_pow2(x: int) -> int:
     return 1 << max(0, (x - 1)).bit_length()
@@ -117,6 +144,7 @@ def build_table(
     max_load: float = DEFAULT_MAX_LOAD,
     seed: int = 0,
     n_buckets: int | None = None,
+    max_probe_limit: int = MAX_PROBE_LIMIT,
 ) -> TableArrays:
     """Build the table from distinct uint64 kmers. Vectorized; O(n log n).
 
@@ -129,7 +157,7 @@ def build_table(
         n_buckets = max(4, _next_pow2(int(np.ceil(n / (BUCKET_KEYS * max_load))) or 1))
     grew = 0
     for attempt in range(8):
-        table = _try_build(unique_kmers, n_buckets, seed)
+        table = _try_build(unique_kmers, n_buckets, seed, max_probe_limit)
         if table == "sentinel":
             seed += 13  # reseed only: a sentinel hit needs no more memory
             continue
@@ -143,7 +171,8 @@ def build_table(
     raise RuntimeError("table build failed to bound probe chains")
 
 
-def _try_build(keys: np.ndarray, n_buckets: int, seed: int):
+def _try_build(keys: np.ndarray, n_buckets: int, seed: int,
+               max_probe_limit: int = MAX_PROBE_LIMIT):
     n = len(keys)
     lo, hi = feistel_mix(*split_u64(keys), seed=seed)
     if n and np.any((lo == EMPTY) & (hi == EMPTY)):
@@ -158,7 +187,7 @@ def _try_build(keys: np.ndarray, n_buckets: int, seed: int):
     pending = np.arange(n, dtype=np.int64)
     probe = 0
     while len(pending):
-        if probe >= MAX_PROBE_LIMIT:
+        if probe >= max_probe_limit:
             return None
         order = np.argsort(b[pending], kind="stable")
         p = pending[order]

@@ -49,6 +49,11 @@ class MapperConfig:
     super_batch: int = 1  # chunks folded into one dispatch (lax.scan): amortizes
     # per-dispatch runtime latency without growing the per-chunk sort
     stream_cap: int = 0  # stream-kernel query tile size (0 = DEFAULT_CAP)
+    aug: int = 1  # chain-augmentation width: the device table row for bucket b
+    # also carries buckets b+1..b+aug-1 (wrapped in the chain block), so one
+    # scheduled kernel round covers aug chain positions — most blocks then
+    # need a single pass over their query window instead of one per chain
+    # round (see stream_probe.py / layout.aug_keys). Stream probe only.
     read_len: int = 0  # all reads have exactly this length (0 = ragged). With
     # fixed-length reads (the Illumina case) the k-1 invalid windows per read
     # form a static pattern, so the ~20% dead window slots are sliced away
@@ -64,6 +69,8 @@ class MapperConfig:
         assert self.super_batch >= 1
         if self.stream_cap >= 128 and self.stream_cap % 128:
             raise ValueError("stream_cap must be a multiple of 128 (or < 128)")
+        assert 1 <= self.aug <= 8
+        assert self.aug == 1 or self.probe == "stream"
         if self.read_len:
             assert self.k <= self.read_len <= self.buf
             assert self.super_batch == 1, "read_len requires super_batch == 1"
@@ -204,6 +211,12 @@ def default_config(**kwargs) -> MapperConfig:
     kwargs.setdefault("probe", "stream" if on_tpu else "gather")
     if kwargs["probe"] == "stream":
         kwargs.setdefault("interpret", not on_tpu)
+        # aug stays 1: chain augmentation measured NEGATIVE on v5e at every
+        # density (283.7 vs 303.5 Mk/s at the default load's lambda=2.6 —
+        # chains are too rare to repay the wider per-tile compare — and
+        # 240-242 vs 296 on a dense lambda=5.15/max_probe=15 table even
+        # though augmentation is what makes such tables streamable at all).
+        # Use aug>=2 explicitly to stream deep-chain (max_probe > 8) tables.
         # stream_cap stays 0 here: KmerMapper auto-sizes it per index (the
         # optimum tracks the mean queries per chain block — see auto_stream_cap)
     # super_batch deliberately stays 1: measured on v5e, folding chunks into a
@@ -231,8 +244,17 @@ class KmerMapper:
             )
         self.config = config
         put = functools.partial(jax.device_put, device=device)
-        self.key_lo = put(index.table.key_lo)
-        self.key_hi = put(index.table.key_hi)
+        if config.probe == "stream" and config.aug > 1:
+            # the step consumes the chain-augmented table; the plain arrays
+            # are materialized lazily for the gather/membership paths
+            aug_lo, aug_hi = index.table.aug_keys(config.aug)
+            self.key_lo = put(aug_lo)
+            self.key_hi = put(aug_hi)
+            self._plain = None
+        else:
+            self.key_lo = put(index.table.key_lo)
+            self.key_hi = put(index.table.key_hi)
+            self._plain = (self.key_lo, self.key_hi)
         self.counts = put(jnp.zeros(index.table.n_slots, dtype=jnp.uint32))
         block_probe = (
             index.table.block_max_probe() if config.probe == "stream" else None
@@ -381,9 +403,10 @@ class KmerMapper:
             )
             self._stats.append(jnp.uint32(n))
             return
+        plain_lo, plain_hi = self._plain_keys()
         bucket, mask = probe.probe_hits(
-            self.key_lo,
-            self.key_hi,
+            plain_lo,
+            plain_hi,
             jnp.asarray(lo),
             jnp.asarray(hi),
             table.max_probe,
@@ -401,15 +424,26 @@ class KmerMapper:
 
         lo, hi = split_u64(np.asarray(kmers, dtype=np.uint64))
         table = self.index.table
+        plain_lo, plain_hi = self._plain_keys()
         slots = probe.probe_slots(
-            self.key_lo,
-            self.key_hi,
+            plain_lo,
+            plain_hi,
             jnp.asarray(lo),
             jnp.asarray(hi),
             table.max_probe,
             table.seed,
         )
         return np.asarray(jax.device_get(slots >= 0)).astype(np.uint8)
+
+    def _plain_keys(self):
+        """Un-augmented key arrays for the gather/membership probes (the step
+        arrays may be chain-augmented, which the gather probe does not read)."""
+        if self._plain is None:
+            self._plain = (
+                jax.device_put(self.index.table.key_lo, device=self._device),
+                jax.device_put(self.index.table.key_hi, device=self._device),
+            )
+        return self._plain
 
     def save_state(self, path) -> None:
         """Checkpoint the accumulated counts + totals (resume long runs)."""

@@ -144,23 +144,57 @@ def block_offsets(sorted_m_lo, n_buckets: int, block: int, bucket_base=0, n_loca
 
 
 def _searchsorted_u32(sorted_vals, queries):
-    """Vectorized left bisection (jnp.searchsorted measured ~5 ms for a few
-    thousand queries on v5e; this runs in a handful of tiny gather steps)."""
+    """Vectorized left bisection with interpolation (jnp.searchsorted measured
+    ~5 ms for a few thousand queries on v5e; plain bisection needs log2(n)
+    full-array gather rounds — ~24 at production chunk sizes).
+
+    The sorted values are feistel-mixed, i.e. uniform over u32, so linear
+    interpolation lands within ~sqrt(n) of the target and converges in a few
+    probes. Interpolation alone degrades to linear creep on long duplicate
+    runs (the poly-A case), so every other step is a plain bisection halving
+    — the while_loop is exact and bounded at ~2 log2(n) worst case, ~8-10
+    gather rounds typical."""
     n = sorted_vals.shape[0]
     lo = jnp.zeros(queries.shape, dtype=jnp.int32)
     hi = jnp.full(queries.shape, n, dtype=jnp.int32)
+    # tightest sampled value bounds: elements < lo are < q and <= vlo;
+    # elements >= hi are >= q and >= vhi
+    vlo = jnp.zeros(queries.shape, dtype=jnp.uint32)
+    vhi = jnp.full(queries.shape, jnp.uint32(0xFFFFFFFF))
 
-    def body(_, carry):
-        lo, hi = carry
+    def probe_at(mid, carry):
+        lo, hi, vlo, vhi = carry
         live = lo < hi
-        mid = (lo + hi) // 2
-        below = sorted_vals[jnp.minimum(mid, n - 1)] < queries
+        x = sorted_vals[jnp.minimum(mid, n - 1)]
+        below = x < queries
         lo = jnp.where(live & below, mid + 1, lo)
+        vlo = jnp.where(live & below, jnp.maximum(vlo, x), vlo)
         hi = jnp.where(live & ~below, mid, hi)
-        return lo, hi
+        vhi = jnp.where(live & ~below, jnp.minimum(vhi, x), vhi)
+        return lo, hi, vlo, vhi
 
-    steps = max(1, int(np.ceil(np.log2(max(2, n)))))
-    lo, hi = lax.fori_loop(0, steps, body, (lo, hi))
+    def body(carry):
+        i, lo, hi, vlo, vhi = carry
+        # interpolation step: mid = lo + frac * (hi - lo), clamped interior
+        span_v = jnp.maximum((vhi - vlo).astype(jnp.float32), 1.0)
+        frac = (queries - vlo).astype(jnp.float32) / span_v
+        gap = hi - lo
+        step = jnp.clip(
+            (frac * gap.astype(jnp.float32)).astype(jnp.int32), 0, jnp.maximum(gap - 1, 0)
+        )
+        carry4 = probe_at(lo + step, (lo, hi, vlo, vhi))
+        # bisection step: guarantees halving regardless of value distribution
+        lo, hi, vlo, vhi = carry4
+        carry4 = probe_at((lo + hi) // 2, (lo, hi, vlo, vhi))
+        return (i + 1,) + carry4
+
+    def cond(carry):
+        i, lo, hi, _, _ = carry
+        return (i < np.int32(max(1, int(np.ceil(np.log2(max(2, n)))) + 2))) & jnp.any(
+            lo < hi
+        )
+
+    _, lo, hi, _, _ = lax.while_loop(cond, body, (jnp.int32(0), lo, hi, vlo, vhi))
     return lo
 
 
@@ -181,8 +215,9 @@ def _bytes8(lo, hi):
 
 
 def _table_bytes(key_lo, key_hi):
-    """(BPB, BUCKET_KEYS) lo/hi words -> (BPB, 8*BUCKET_KEYS) f32 byte planes,
-    plane-major: columns [pK:(p+1)K] = byte plane p (lo bytes 0-3, hi bytes 0-3)."""
+    """(BPB, W) lo/hi words -> (BPB, 8*W) f32 byte planes, plane-major:
+    columns [pW:(p+1)W] = byte plane p (lo bytes 0-3, hi bytes 0-3). W is
+    BUCKET_KEYS times the chain-augmentation width."""
     return jnp.concatenate(_bytes8(key_lo, key_hi), axis=1)
 
 
@@ -197,12 +232,14 @@ def _packed_query_planes(qlo, qhi):
     return p0, p1, p2
 
 
-def _packed_gathered(gathered):
-    """(8K, cap) f32 byte planes -> 3 packed planes of (K, cap), same packing
-    as _packed_query_planes. Gathered values are exact bytes (each one-hot
-    column selects a single table row), so the packed sums are < 2^24."""
+def _packed_gathered(gathered, h: int = 0, aug: int = 1):
+    """(8*aug*K, cap) f32 byte planes -> 3 packed planes of (K, cap) for
+    augmentation half ``h``, same packing as _packed_query_planes. Gathered
+    values are exact bytes (each one-hot column selects a single table row),
+    so the packed sums are < 2^24."""
     K = BUCKET_KEYS
-    g = [gathered[p * K : (p + 1) * K, :] for p in range(8)]
+    W = aug * K
+    g = [gathered[p * W + h * K : p * W + (h + 1) * K, :] for p in range(8)]
     p0 = g[0] + 256.0 * g[1] + 65536.0 * g[2]
     p1 = g[3] + 256.0 * g[4] + 65536.0 * g[5]
     p2 = g[6] + 256.0 * g[7]
@@ -232,6 +269,7 @@ def _kernel(
     n_slots: int,
     use_meta: bool,
     shift: int,  # bucket id = m_lo >> shift (global bucket count)
+    aug: int,  # chained buckets compared per scheduled round (layout.aug_keys)
 ):
     """One grid step = ``coarse`` chain blocks, iterated as ONE flat fori_loop
     over scheduled (block, probe round) query tiles. The table byte planes for
@@ -351,38 +389,50 @@ def _kernel(
         # invalid queries (all-ones word pair) ride the last bucket's range;
         # they may only "match" EMPTY slots — mask them out of the hit test
         live = live & ~((qm_lo == INVALID_WORD) & (qm_hi == INVALID_WORD))
-        # probe round p folded into the one-hot: comparing against row
-        # (local_b + p), wrapped WITHIN the query's own chain block, gathers
-        # the chained bucket's keys AND lands the count contribution on that
-        # same chained row — identical to rolling the table tile by p,
-        # without any roll. A group is ``gpb // bpb`` adjacent chain blocks
-        # served by ONE widened one-hot (the gather/compare work is shared,
-        # unlike the rejected sub-grouping that duplicated the matmuls).
+        # scheduled round p folded into the one-hot: comparing against row
+        # (local_b + p*aug), wrapped WITHIN the query's own chain block,
+        # gathers the chained bucket's keys AND lands the count contribution
+        # on that same chained row — identical to rolling the table tile,
+        # with no roll. With chain augmentation (aug > 1) the table row also
+        # carries the NEXT aug-1 buckets' keys (layout.aug_keys), so one
+        # scheduled round covers aug chain positions: extra 62-bit-exact
+        # compares are always sound (a key is stored once — they can only
+        # find the true slot), so most blocks need a single round. A group is
+        # ``gpb // bpb`` adjacent chain blocks served by ONE widened one-hot
+        # (the gather/compare work is shared, unlike the rejected
+        # sub-grouping that duplicated the matmuls).
         local_bp = (local_b & ~jnp.int32(bpb - 1)) | (
-            (local_b + p) & jnp.int32(bpb - 1)
+            (local_b + p * jnp.int32(aug)) & jnp.int32(bpb - 1)
         )
         one_hot = ((rows == local_bp) & live).astype(jnp.bfloat16)
         row0 = pl.multiple_of((grp - ci * coarse) * gpb, gpb)
         tb = tb_s[pl.ds(row0, gpb), :]
-        # per-query candidate key bytes: (8K, cap) = tbᵀ ⨯ one_hot
+        # per-query candidate key bytes: (8*aug*K, cap) = tbᵀ ⨯ one_hot
         gathered = lax.dot_general(
             tb,
             one_hot,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        gp0, gp1, gp2 = _packed_gathered(gathered)
         qp0, qp1, qp2 = _packed_query_planes(qm_lo, qm_hi)
-        hits = live & (gp0 == qp0) & (gp1 == qp1) & (gp2 == qp2)
-        c = lax.dot_general(
-            one_hot,
-            hits.astype(jnp.bfloat16),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (gpb, K)
+        total = None
+        for h in range(aug):
+            gp0, gp1, gp2 = _packed_gathered(gathered, h, aug)
+            hits = live & (gp0 == qp0) & (gp1 == qp1) & (gp2 == qp2)
+            c = lax.dot_general(
+                one_hot,
+                hits.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (gpb, K): contributions computed at the one-hot row, but a
+            # half-h hit belongs to bucket (row + h) wrapped in the chain
+            # block — shift rows down by h (gpb == bpb when aug > 1)
+            if h:
+                c = jnp.concatenate([c[gpb - h :, :], c[: gpb - h, :]], axis=0)
+            total = c if total is None else total + c
         counts_out_ref[pl.ds(row0, gpb), :] = counts_out_ref[
             pl.ds(row0, gpb), :
-        ] + c.astype(jnp.int32).astype(jnp.uint32)
+        ] + total.astype(jnp.int32).astype(jnp.uint32)
         return 0 if use_meta else (gn, en)
 
     if use_meta:
@@ -392,7 +442,9 @@ def _kernel(
 
 
 def stream_count(
-    key_lo: jnp.ndarray,  # uint32[n_buckets, K] (mixed words)
+    key_lo: jnp.ndarray,  # uint32[n_buckets, aug*K] (mixed words; column
+    # group h = keys of bucket chain_next(b, h) — layout.aug_keys; aug == 1
+    # is the plain table)
     key_hi: jnp.ndarray,
     counts: jnp.ndarray,  # uint32[n_slots] flat
     sorted_m_lo: jnp.ndarray,  # uint32[N] mixed, sorted (sort_queries)
@@ -421,11 +473,16 @@ def stream_count(
     sizes must be chain-block multiples so the in-kernel chain wrap reproduces
     the build's wrapping."""
     n_local = key_lo.shape[0]
+    aug = key_lo.shape[1] // BUCKET_KEYS
+    assert key_lo.shape[1] == aug * BUCKET_KEYS
     if n_buckets_global is None:
         n_buckets_global = n_local
     shift = bucket_shift(n_buckets_global)
     bpb = min(CHAIN_BLOCK, n_local) if chain_block is None else chain_block
     assert n_local % bpb == 0, "table shard must be a multiple of the chain block"
+    if aug > 1:
+        assert (group or DEFAULT_GROUP) == 1, "chain augmentation requires group == 1"
+        assert aug <= bpb
     # the DMA-offset alignment promised to Mosaic (pl.multiple_of) requires
     # tile strides to preserve the window base's alignment
     assert cap % min(ALIGN, cap) == 0, f"cap must be a multiple of {ALIGN} (or < {ALIGN})"
@@ -465,15 +522,19 @@ def stream_count(
             max_rounds = max_probe
         else:
             max_rounds = max(1, int(np.asarray(block_probe).max(initial=1)))
+    if aug > 1:
+        # one scheduled round covers ``aug`` chain positions
+        rounds = (rounds + jnp.int32(aug - 1)) // jnp.int32(aug)
+        max_rounds = -(-max_rounds // aug)
     if max_rounds > (1 << PROBE_BITS):
-        # tables built here respect layout.MAX_PROBE_LIMIT == 1 << PROBE_BITS;
-        # a larger bound means a corrupt/foreign table — clipping would
-        # silently drop hits past round 8 (the gather path would still probe
-        # them, so the two paths would diverge)
+        # tables built here respect layout.max_probe_limit(aug) ==
+        # aug << PROBE_BITS; a larger bound means a corrupt/foreign table —
+        # clipping would silently drop hits past the schedulable rounds (the
+        # gather path would still probe them, so the two paths would diverge)
         raise ValueError(
-            f"table max probe {max_rounds} exceeds the stream kernel's "
-            f"schedule limit {1 << PROBE_BITS}; rebuild the table or use "
-            "probe='gather'"
+            f"table needs {max_rounds} scheduled probe rounds at aug={aug}, "
+            f"over the stream kernel's schedule limit {1 << PROBE_BITS}; "
+            "rebuild the table or use probe='gather'"
         )
 
     # scalar-prefetch operands live in SMEM (~1 MB): the per-tile schedule
@@ -498,15 +559,15 @@ def stream_count(
         num_scalar_prefetch=1,
         grid=(n_groups // coarse,),
         in_specs=[
-            pl.BlockSpec((coarse * gpb, BUCKET_KEYS), lambda i, off: (i, 0)),
-            pl.BlockSpec((coarse * gpb, BUCKET_KEYS), lambda i, off: (i, 0)),
+            pl.BlockSpec((coarse * gpb, aug * BUCKET_KEYS), lambda i, off: (i, 0)),
+            pl.BlockSpec((coarse * gpb, aug * BUCKET_KEYS), lambda i, off: (i, 0)),
             pl.BlockSpec((coarse * gpb, BUCKET_KEYS), lambda i, off: (i, 0)),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
         out_specs=pl.BlockSpec((coarse * gpb, BUCKET_KEYS), lambda i, off: (i, 0)),
         scratch_shapes=[
             pltpu.VMEM((n_slots, 2, cap), jnp.uint32),
-            pltpu.VMEM((coarse * gpb, 8 * BUCKET_KEYS), jnp.bfloat16),
+            pltpu.VMEM((coarse * gpb, 8 * aug * BUCKET_KEYS), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((n_slots,)),
         ],
     )
@@ -549,7 +610,7 @@ def stream_count(
     kernel = functools.partial(
         _kernel, cap=cap, bpb=bpb, gpb=gpb, n_groups=n_groups,
         coarse=coarse, t_pad=t_pad, n_slots=n_slots, use_meta=use_meta,
-        shift=shift,
+        shift=shift, aug=aug,
     )
     out = pl.pallas_call(
         kernel,

@@ -208,8 +208,12 @@ class ShardedKmerMapper:
         def put(arr, spec):
             return jax.device_put(arr, NamedSharding(mesh, spec))
 
-        self.key_lo = put(table.key_lo, P(INDEX_AXIS, None))
-        self.key_hi = put(table.key_hi, P(INDEX_AXIS, None))
+        if config.probe == "stream" and config.aug > 1:
+            aug_lo, aug_hi = table.aug_keys(config.aug)
+        else:
+            aug_lo, aug_hi = table.key_lo, table.key_hi
+        self.key_lo = put(aug_lo, P(INDEX_AXIS, None))
+        self.key_hi = put(aug_hi, P(INDEX_AXIS, None))
         self.counts = put(
             jnp.zeros((self.n_data, table.n_slots), dtype=jnp.uint32),
             P(DATA_AXIS, INDEX_AXIS),

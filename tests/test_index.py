@@ -291,9 +291,9 @@ def test_sentinel_colliding_key_reseeds_and_stays_queryable():
 
 
 def test_tpuidx_rejects_out_of_range_max_probe(tmp_path):
-    """A .tpuidx whose table_max_probe exceeds layout.MAX_PROBE_LIMIT is a
+    """A .tpuidx whose table_max_probe exceeds layout.MAX_PROBE_HARD is a
     corrupt/foreign file: loading must fail loudly instead of letting the
-    stream kernel's 3-bit schedule silently drop hits past round 8."""
+    stream kernel's schedule silently drop hits past its round limit."""
     rng = np.random.default_rng(11)
     keys = np.unique(rng.integers(0, 1 << 62, 500, dtype=np.uint64))
     nodes = rng.integers(0, 50, len(keys)).astype(np.int32)
@@ -302,8 +302,31 @@ def test_tpuidx_rejects_out_of_range_max_probe(tmp_path):
     tpu.to_file(path)
     with np.load(path) as data:
         fields = {k: data[k] for k in data.files}
-    fields["table_max_probe"] = np.int64(9)
+    fields["table_max_probe"] = np.int64(layout.MAX_PROBE_HARD + 1)
     bad = tmp_path / "bad.tpuidx.npz"  # np.savez appends .npz itself
     np.savez(bad, **fields)
     with pytest.raises(ValueError, match="table_max_probe"):
         ki.TpuKmerIndex.from_file(bad)
+
+    # deep-but-plausible max_probe loads fine; the stream kernel then refuses
+    # a schedule it cannot cover at the configured augmentation
+    fields["table_max_probe"] = np.int64(9)
+    deep = tmp_path / "deep.tpuidx.npz"
+    np.savez(deep, **fields)
+    idx = ki.TpuKmerIndex.from_file(deep)
+    import jax.numpy as jnp
+
+    from kmer_mapper_tpu.ops import stream_probe
+
+    with pytest.raises(ValueError, match="schedule limit"):
+        stream_probe.stream_probe_count(
+            jnp.asarray(idx.table.key_lo),
+            jnp.asarray(idx.table.key_hi),
+            jnp.zeros(idx.table.n_slots, jnp.uint32),
+            jnp.zeros(128, jnp.uint32),
+            jnp.zeros(128, jnp.uint32),
+            jnp.ones(128, bool),
+            idx.table.seed,
+            9,
+            interpret=True,
+        )

@@ -17,14 +17,17 @@ from kmer_mapper_tpu.ops import encode, stream_probe
 from kmer_mapper_tpu.ops.u32hash import split_u64
 
 
-def _run_stream(table, queries, valid, counts0=None, cap=512):
+def _run_stream(table, queries, valid, counts0=None, cap=512, aug=1, **kw):
     qlo, qhi = split_u64(queries)
     counts = jnp.asarray(
         counts0 if counts0 is not None else np.zeros(table.n_slots, np.uint32)
     )
+    key_lo, key_hi = (
+        table.aug_keys(aug) if aug > 1 else (table.key_lo, table.key_hi)
+    )
     out = stream_probe.stream_probe_count(
-        jnp.asarray(table.key_lo),
-        jnp.asarray(table.key_hi),
+        jnp.asarray(key_lo),
+        jnp.asarray(key_hi),
         counts,
         jnp.asarray(qlo),
         jnp.asarray(qhi),
@@ -33,6 +36,7 @@ def _run_stream(table, queries, valid, counts0=None, cap=512):
         table.max_probe,
         cap=cap,
         interpret=True,
+        **kw,
     )
     return np.asarray(out)
 
@@ -89,9 +93,12 @@ def test_stream_probe_accumulates_into_existing_counts():
     )
 
 
-def test_stream_probe_chained_table():
+@pytest.mark.parametrize("aug", [1, 2, 3])
+def test_stream_probe_chained_table(aug):
     """High-load table with wrapped collision chains: keys stored at probe
-    offsets > 0 are found via the rolled-tile matmuls."""
+    offsets > 0 are found via the rolled-tile matmuls — and, with chain
+    augmentation, via the widened per-row compare (scheduled rounds stride
+    by ``aug``)."""
     rng = np.random.default_rng(3)
     keys = np.unique(rng.integers(0, 1 << 62, 4000, dtype=np.uint64))
     n_buckets = layout._next_pow2(int(np.ceil(len(keys) / layout.BUCKET_KEYS / 0.8)))
@@ -100,8 +107,47 @@ def test_stream_probe_chained_table():
     queries = np.concatenate([keys, rng.integers(0, 1 << 62, 1000, dtype=np.uint64)])
     valid = np.ones(len(queries), bool)
     np.testing.assert_array_equal(
-        _run_stream(table, queries, valid), _expect(table, queries, valid)
+        _run_stream(table, queries, valid, aug=aug), _expect(table, queries, valid)
     )
+
+
+@pytest.mark.parametrize("aug", [2, 4])
+def test_stream_probe_augmented_with_block_probe(aug):
+    """Chain augmentation combined with per-block round bounds: blocks with
+    bound <= aug get exactly one scheduled round, deeper blocks stride."""
+    rng = np.random.default_rng(13)
+    keys = np.unique(rng.integers(0, 1 << 62, 6000, dtype=np.uint64))
+    n_buckets = layout._next_pow2(int(np.ceil(len(keys) / layout.BUCKET_KEYS / 0.9)))
+    table = layout.build_table(keys, n_buckets=n_buckets)
+    queries = np.concatenate([keys, rng.integers(0, 1 << 62, 500, dtype=np.uint64)])
+    valid = rng.random(len(queries)) < 0.9
+    np.testing.assert_array_equal(
+        _run_stream(
+            table, queries, valid, aug=aug,
+            block_probe=table.block_max_probe(),
+        ),
+        _expect(table, queries, valid),
+    )
+
+
+def test_aug_keys_layout():
+    """aug_keys column group h must hold the keys of chain_next(b, h)."""
+    rng = np.random.default_rng(21)
+    keys = np.unique(rng.integers(0, 1 << 62, 3000, dtype=np.uint64))
+    table = layout.build_table(keys)
+    for aug in (2, 3):
+        alo, ahi = table.aug_keys(aug)
+        b = np.arange(table.n_buckets)
+        for h in range(aug):
+            nb = layout.chain_next(b, h, table.n_buckets)
+            np.testing.assert_array_equal(
+                alo[:, h * layout.BUCKET_KEYS : (h + 1) * layout.BUCKET_KEYS],
+                table.key_lo[nb],
+            )
+            np.testing.assert_array_equal(
+                ahi[:, h * layout.BUCKET_KEYS : (h + 1) * layout.BUCKET_KEYS],
+                table.key_hi[nb],
+            )
 
 
 def test_stream_probe_tiny_table():
@@ -193,6 +239,26 @@ def test_custom_bisection_matches_numpy_searchsorted():
     got = np.asarray(stream_probe._searchsorted_u32(jnp.asarray(vals), jnp.asarray(queries)))
     expect = np.searchsorted(vals, queries, side="left")
     np.testing.assert_array_equal(got, expect)
+
+    # long duplicate runs (poly-A skew): the interpolation step degrades to
+    # linear creep here; the interleaved bisection must keep it exact
+    vals = np.sort(
+        np.concatenate(
+            [
+                np.full(40000, 7_000_000, np.uint32),
+                np.full(30000, 7_000_001, np.uint32),
+                rng.integers(0, 1 << 32, 1000, dtype=np.uint32),
+                np.full(20000, 0xFFFFFFFF, np.uint32),
+            ]
+        )
+    )
+    queries = np.array(
+        [0, 6_999_999, 7_000_000, 7_000_001, 7_000_002, 0xFFFFFFFF], np.uint32
+    )
+    got = np.asarray(
+        stream_probe._searchsorted_u32(jnp.asarray(vals), jnp.asarray(queries))
+    )
+    np.testing.assert_array_equal(got, np.searchsorted(vals, queries, side="left"))
 
 
 def test_cursor_schedule_fallback_matches_meta(monkeypatch):
@@ -351,3 +417,25 @@ def test_cursor_schedule_with_chained_table(monkeypatch):
     monkeypatch.setattr(sp, "SMEM_I32_BUDGET", 200)  # force cursor mode
     got = _run_stream(table, queries, valid, cap=256)
     np.testing.assert_array_equal(got, _expect(table, queries, valid))
+
+
+@pytest.mark.parametrize("aug", [2, 4])
+def test_stream_probe_dense_table_deep_chains(aug):
+    """Dense table (chains beyond the default 8-round limit, built with a
+    raised max_probe_limit): augmentation schedules ceil(chain/aug) rounds
+    and must stay bit-exact."""
+    rng = np.random.default_rng(31)
+    keys = np.unique(rng.integers(0, 1 << 62, 6000, dtype=np.uint64))
+    # force ~5.9 keys/bucket so chains run deep
+    n_buckets = layout._next_pow2(len(keys) // 6)
+    table = layout.build_table(keys, n_buckets=n_buckets, max_probe_limit=16)
+    assert table.n_buckets == n_buckets, "build must not have grown"
+    queries = np.concatenate([keys, rng.integers(0, 1 << 62, 1000, dtype=np.uint64)])
+    valid = rng.random(len(queries)) < 0.95
+    np.testing.assert_array_equal(
+        _run_stream(
+            table, queries, valid, aug=aug,
+            block_probe=table.block_max_probe(),
+        ),
+        _expect(table, queries, valid),
+    )
