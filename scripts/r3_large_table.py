@@ -1,10 +1,10 @@
-"""Large-table (SMEM-fallback while-cursor schedule) throughput, CSE-free.
+"""Large-table (paged-schedule fallback) throughput, CSE-free.
 
 A 16M-unique-key index at the default load builds ~4M buckets (268 MB table):
-the per-tile schedule arrays no longer fit SMEM, so stream_count drops to the
-in-kernel while-cursor schedule with shallower DMA buffering — exactly the
-regime of real multi-GB KAGE indexes (round-2 verdict: unmeasured). Same
-window methodology as bench.py.
+the per-tile schedule arrays no longer fit SMEM, so stream_count pages the
+schedule HBM->VMEM->SMEM (same per-tile reads and DMA lookahead as the SMEM
+mode) — exactly the regime of real multi-GB KAGE indexes (round-2 verdict:
+unmeasured). Same window methodology as bench.py.
 
 Usage: python scripts/r3_large_table.py [N_UNIQUE_MILLIONS=16] [AUG=1] [CAP=0]
 """
@@ -79,7 +79,7 @@ def main():
         (BUF // READ_LEN * (READ_LEN - K + 1) + 3 * cap) // cap + 2 * n_blocks
     )
     use_meta = 2 * n_blocks + 2 + n_blocks + 1 + 2 * t_pad_est <= stream_probe.SMEM_I32_BUDGET
-    log(f"cap={cap} n_blocks={n_blocks} -> schedule mode: {'meta' if use_meta else 'CURSOR'}")
+    log(f"cap={cap} n_blocks={n_blocks} -> schedule mode: {'meta' if use_meta else 'PAGED'}")
 
     packed = [
         next(iter(pack_for_device(iter([c]), config.buf, config.max_reads, K)))
@@ -123,7 +123,7 @@ def main():
         log(f"window {w}: {r/1e6:.1f} Mkmers/s")
     print(
         f"RESULT n_unique={len(entry_kmers)} buckets={table.n_buckets} "
-        f"aug={aug} cap={cap} mode={'meta' if use_meta else 'cursor'} "
+        f"aug={aug} cap={cap} mode={'meta' if use_meta else 'paged'} "
         f"best={best/1e6:.1f} Mk/s"
     )
 

@@ -261,8 +261,8 @@ def test_custom_bisection_matches_numpy_searchsorted():
     np.testing.assert_array_equal(got, np.searchsorted(vals, queries, side="left"))
 
 
-def test_cursor_schedule_fallback_matches_meta(monkeypatch):
-    """Large tables fall back to the in-kernel while-cursor schedule when the
+def test_paged_schedule_fallback_matches_meta(monkeypatch):
+    """Large tables page the schedule HBM->VMEM->SMEM when the
     per-tile metadata would overflow SMEM; both schedules must count
     identically (forced here by shrinking the budget)."""
     from kmer_mapper_tpu.ops import stream_probe as sp
@@ -276,9 +276,32 @@ def test_cursor_schedule_fallback_matches_meta(monkeypatch):
     valid = np.ones(len(queries), dtype=bool)
     valid[::7] = False
     meta = _run_stream(table, queries, valid, cap=256)
-    monkeypatch.setattr(sp, "SMEM_I32_BUDGET", 200)  # force cursor mode
-    cursor = _run_stream(table, queries, valid, cap=256)
-    np.testing.assert_array_equal(meta, cursor)
+    monkeypatch.setattr(sp, "SMEM_I32_BUDGET", 200)  # force paged mode
+    paged = _run_stream(table, queries, valid, cap=256)
+    np.testing.assert_array_equal(meta, paged)
+
+
+def test_paged_schedule_many_pages(monkeypatch):
+    """Multi-page regime: shrink PAGE so the schedule spans many pages and the
+    in-kernel page advance (double-buffered SMEM slots, HBM->VMEM prefetch,
+    final drain) is actually exercised — the default forced-paged test above
+    fits in a single page."""
+    from kmer_mapper_tpu.ops import stream_probe as sp
+
+    rng = np.random.default_rng(123)
+    keys = np.unique(rng.integers(0, 1 << 62, 30000, dtype=np.uint64))
+    table = layout.build_table(keys)
+    queries = np.concatenate(
+        [rng.choice(keys, 9000), rng.integers(0, 1 << 62, 7384, dtype=np.uint64)]
+    )
+    rng.shuffle(queries)
+    valid = rng.random(len(queries)) < 0.9
+    meta = _run_stream(table, queries, valid, cap=128)
+    monkeypatch.setattr(sp, "SMEM_I32_BUDGET", 200)
+    monkeypatch.setattr(sp, "PAGE", 32)
+    paged = _run_stream(table, queries, valid, cap=128)
+    np.testing.assert_array_equal(meta, paged)
+    np.testing.assert_array_equal(meta, _expect(table, queries, valid))
 
 
 @pytest.mark.parametrize("probe_mode", ["stream", "gather"])
@@ -402,9 +425,9 @@ def test_stream_path_k_boundaries(k):
     )
 
 
-def test_cursor_schedule_with_chained_table(monkeypatch):
-    """Cursor (SMEM-fallback) mode derives (group, probe round, tile) with
-    scalar div/rem; a chained high-load table exercises rounds > 1."""
+def test_paged_schedule_with_chained_table(monkeypatch):
+    """Paged-schedule mode with a chained high-load table (rounds > 1):
+    page reads must deliver the same (group, round, offset) stream."""
     from kmer_mapper_tpu.ops import stream_probe as sp
 
     rng = np.random.default_rng(88)
@@ -414,7 +437,7 @@ def test_cursor_schedule_with_chained_table(monkeypatch):
     assert table.max_probe > 1
     queries = np.concatenate([keys, rng.integers(0, 1 << 62, 777, dtype=np.uint64)])
     valid = np.ones(len(queries), bool)
-    monkeypatch.setattr(sp, "SMEM_I32_BUDGET", 200)  # force cursor mode
+    monkeypatch.setattr(sp, "SMEM_I32_BUDGET", 200)  # force paged mode
     got = _run_stream(table, queries, valid, cap=256)
     np.testing.assert_array_equal(got, _expect(table, queries, valid))
 
