@@ -49,6 +49,11 @@ class MapperConfig:
     super_batch: int = 1  # chunks folded into one dispatch (lax.scan): amortizes
     # per-dispatch runtime latency without growing the per-chunk sort
     stream_cap: int = 0  # stream-kernel query tile size (0 = DEFAULT_CAP)
+    group: int = 0  # adjacent chain blocks served by one widened one-hot tile
+    # (0 = stream_probe.DEFAULT_GROUP). Measured negative at the default table
+    # density (~1.6K queries/block), but large tables spread the same queries
+    # over more blocks (under-filled tiles), where widening pays. Stream
+    # probe only; mutually exclusive with aug > 1.
     aug: int = 1  # chain-augmentation width: the device table row for bucket b
     # also carries buckets b+1..b+aug-1 (wrapped in the chain block), so one
     # scheduled kernel round covers aug chain positions — most blocks then
@@ -71,6 +76,10 @@ class MapperConfig:
             raise ValueError("stream_cap must be a multiple of 128 (or < 128)")
         assert 1 <= self.aug <= 8
         assert self.aug == 1 or self.probe == "stream"
+        assert self.group >= 0
+        assert self.aug == 1 or self.group in (0, 1), (
+            "chain augmentation requires group == 1"
+        )
         if self.read_len:
             assert self.k <= self.read_len <= self.buf
             assert self.super_batch == 1, "read_len requires super_batch == 1"
@@ -129,6 +138,7 @@ def chunk_step(
             cap=config.stream_cap or stream_probe.DEFAULT_CAP,
             interpret=config.interpret,
             block_probe=block_probe,
+            group=config.group,
         )
     else:
         accumulate = probe.ACCUMULATORS[config.accumulate]

@@ -531,9 +531,11 @@ def stream_count(
     q = jnp.stack([sorted_m_lo, sorted_m_hi])  # (2, n_padded)
     counts2d = counts.reshape(n_local, BUCKET_KEYS)
 
+    sum_rounds = None  # static Σ per-group scheduled rounds, when known
     if block_probe is None:
         rounds = jnp.full(n_groups, max_probe, dtype=jnp.int32)
         max_rounds = max_probe
+        sum_rounds = n_groups * -(-max_probe // aug)
     else:
         # per-group chain bound = max over the group's chain blocks
         rounds = jnp.asarray(block_probe, dtype=jnp.int32)
@@ -543,7 +545,15 @@ def stream_count(
         if isinstance(block_probe, jax.core.Tracer):
             max_rounds = max_probe
         else:
-            max_rounds = max(1, int(np.asarray(block_probe).max(initial=1)))
+            bp_np = np.asarray(block_probe)
+            max_rounds = max(1, int(bp_np.max(initial=1)))
+            # mirror the traced transform below (group max, aug ceil-div,
+            # clip) so the static schedule bound can use the exact sum
+            r_np = bp_np.astype(np.int64)
+            if group > 1:
+                r_np = r_np.reshape(n_groups, group).max(axis=1)
+            r_np = -(-r_np // aug)
+            sum_rounds = int(np.clip(r_np, 1, -(-max_rounds // aug)).sum())
     if aug > 1:
         # one scheduled round covers ``aug`` chain positions
         rounds = (rounds + jnp.int32(aug - 1)) // jnp.int32(aug)
@@ -562,11 +572,19 @@ def stream_count(
     # scalar-prefetch operands live in SMEM (~1 MB): the per-tile schedule
     # arrays only fit there for small/medium tables; for large tables the
     # schedule lives in HBM and is PAGED through VMEM into SMEM (see _kernel)
-    # static schedule bound: per-group tiles are ceil((end - base)/cap) with
-    # base aligned down below start, so each group can add one ceil tile AND
-    # one alignment tile beyond its query share — 2*n_groups slack (a single
-    # n_groups is not airtight against adversarial window-size patterns)
-    t_pad = max_rounds * ((n + pad) // cap + 2 * n_groups)
+    # static schedule bound: group g contributes rounds_g * n_tiles_g entries
+    # with n_tiles_g = ceil((end_g - base_g)/cap) and base_g aligned down
+    # below start_g, so n_tiles_g <= w_g/cap + 2 (one ceil tile + one
+    # alignment tile beyond the group's query share w_g; a single extra tile
+    # is not airtight against adversarial window-size patterns). Summing,
+    # entries <= max_rounds * (Σ w_g)/cap + 2 Σ rounds_g with Σ w_g = n + pad.
+    # The XLA-side schedule build below costs gathers/cumsum proportional to
+    # t_pad (measured 14 ms/chunk at 32K groups with the old
+    # max_rounds * 2 * n_groups slack), so use the exact Σ rounds_g whenever
+    # block_probe is static — the production path; tables ship it as numpy.
+    if sum_rounds is None:
+        sum_rounds = n_groups * max_rounds
+    t_pad = max_rounds * ((n + pad) // cap + 1) + 2 * sum_rounds
     base_len = 2 * n_groups + 2 + n_groups // coarse + 1
     use_meta = base_len + 2 * t_pad <= SMEM_I32_BUDGET
     if base_len > SMEM_I32_BUDGET:

@@ -6,9 +6,10 @@ schedule HBM->VMEM->SMEM (same per-tile reads and DMA lookahead as the SMEM
 mode) — exactly the regime of real multi-GB KAGE indexes (round-2 verdict:
 unmeasured). Same window methodology as bench.py.
 
-Usage: python scripts/r3_large_table.py [N_UNIQUE_MILLIONS=16] [AUG=1] [CAP=0]
+Usage: python scripts/r3_large_table.py [N_UNIQUE_MILLIONS=16] [AUG=1] [CAP=0] [GROUP=0]
 """
 import functools
+import os
 import sys
 import time
 
@@ -17,7 +18,7 @@ import numpy as np
 
 K = 31
 READ_LEN = 151
-BUF = 16 << 20
+BUF = int(os.environ.get("KMT_BENCH_BUF", 16 << 20))
 STEPS = 8
 N_WINDOWS = 3
 
@@ -30,6 +31,7 @@ def main():
     n_unique_m = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     aug = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     cap_arg = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+    grp = int(sys.argv[4]) if len(sys.argv) > 4 else 0
 
     import jax
     import jax.numpy as jnp
@@ -71,15 +73,22 @@ def main():
     cap = cap_arg or auto_stream_cap(BUF, table.n_buckets, READ_LEN)
     config = default_config(
         k=K, buf=BUF, max_reads=BUF // 64, read_len=READ_LEN,
-        stream_cap=cap, aug=aug,
+        stream_cap=cap, aug=aug, group=grp,
     )
-    # confirm which schedule mode this size lands in (mirrors stream_count)
+    # confirm which schedule mode this size lands in (mirrors stream_count's
+    # tight static bound: max_rounds*ceil(n/cap) + 2*sum(per-group rounds))
     n_blocks = table.n_buckets // min(layout.CHAIN_BLOCK, table.n_buckets)
-    t_pad_est = int(np.ceil(bp.astype(np.int64) / aug).max()) * (
-        (BUF // READ_LEN * (READ_LEN - K + 1) + 3 * cap) // cap + 2 * n_blocks
+    g = max(1, grp)
+    r_np = bp.astype(np.int64).reshape(n_blocks // g, g).max(axis=1)
+    r_np = np.clip(-(-r_np // aug), 1, None)
+    n_q = BUF // READ_LEN * (READ_LEN - K + 1) + 3 * cap
+    t_pad_est = int(r_np.max()) * (n_q // cap + 1) + 2 * int(r_np.sum())
+    n_groups = n_blocks // g
+    use_meta = 3 * n_groups + 3 + 2 * t_pad_est <= stream_probe.SMEM_I32_BUDGET
+    log(
+        f"cap={cap} n_blocks={n_blocks} group={g} t_pad~{t_pad_est} "
+        f"-> schedule mode: {'meta' if use_meta else 'PAGED'}"
     )
-    use_meta = 2 * n_blocks + 2 + n_blocks + 1 + 2 * t_pad_est <= stream_probe.SMEM_I32_BUDGET
-    log(f"cap={cap} n_blocks={n_blocks} -> schedule mode: {'meta' if use_meta else 'PAGED'}")
 
     packed = [
         next(iter(pack_for_device(iter([c]), config.buf, config.max_reads, K)))
@@ -123,8 +132,8 @@ def main():
         log(f"window {w}: {r/1e6:.1f} Mkmers/s")
     print(
         f"RESULT n_unique={len(entry_kmers)} buckets={table.n_buckets} "
-        f"aug={aug} cap={cap} mode={'meta' if use_meta else 'paged'} "
-        f"best={best/1e6:.1f} Mk/s"
+        f"buf={BUF >> 20}Mi aug={aug} cap={cap} group={g} "
+        f"mode={'meta' if use_meta else 'paged'} best={best/1e6:.1f} Mk/s"
     )
 
 

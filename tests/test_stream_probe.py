@@ -198,6 +198,33 @@ def test_chunk_step_stream_mode_matches_oracle(revcomp):
     np.testing.assert_array_equal(got, expect)
 
 
+def test_chunk_step_group_config_matches_oracle():
+    """MapperConfig.group plumbs block-group widening through chunk_step;
+    counts stay oracle-exact."""
+    rng = np.random.default_rng(21)
+    k = 9
+    reads = ["".join(rng.choice(list("ACGT"), rng.integers(6, 50))) for _ in range(80)]
+    read_codes = [oracle.encode_string(r) for r in reads]
+    fwd = oracle.kmer_hashes_ragged(
+        np.concatenate(read_codes), np.array([len(r) for r in reads]), k
+    )
+    entry_kmers = np.concatenate(
+        [rng.choice(fwd, 150), rng.integers(0, 4**k, 60, dtype=np.uint64)]
+    )
+    nodes = rng.integers(0, 70, len(entry_kmers)).astype(np.int32)
+    arrays = oracle.build_kmer_index(entry_kmers, nodes, 997)
+    tpu = ki.TpuKmerIndex.from_arrays(arrays)
+
+    config = MapperConfig(
+        k=k, buf=8192, max_reads=256, probe="stream", interpret=True, group=2
+    )
+    mapper = KmerMapper(tpu, config)
+    mapper.map_chunk(*_pack_reads(reads, config))
+    np.testing.assert_array_equal(
+        mapper.node_counts(), oracle.map_kmers_to_index(arrays, fwd)
+    )
+
+
 def test_block_max_probe_and_chain_skip():
     """Per-block probe limits: chain-free blocks skip extra rounds; chained
     blocks still resolve exactly."""
