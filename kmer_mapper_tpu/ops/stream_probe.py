@@ -60,6 +60,7 @@ Role parity: this kernel implements the reference's entire probe loop
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -85,6 +86,111 @@ DEFAULT_GROUP = 1  # adjacent chain blocks per widened one-hot tile
 SMEM_I32_BUDGET = 200_000  # scalar-prefetch words that safely fit SMEM (1 MB)
 PROBE_BITS = 3  # schedule entries pack (group << PROBE_BITS) | probe_round;
 # index/layout.py bounds chains at MAX_PROBE_LIMIT = 8 rounds, so 3 bits
+
+
+class SchedulePlan(NamedTuple):
+    """Static shape plan for one stream_count call (see plan_schedule)."""
+
+    n_groups: int
+    gpb: int  # one-hot rows per scheduled group (= group * chain block)
+    group: int
+    coarse: int  # groups per grid step
+    max_rounds: int  # scheduled probe rounds upper bound (after aug fold)
+    sum_rounds: int  # Σ per-group scheduled rounds (exact when block_probe
+    # is static, else the conservative n_groups * max_rounds)
+    t_pad: int  # static bound on schedule entries
+    use_meta: bool  # schedule fits scalar-prefetch SMEM (fast path)
+    n_pages: int  # HBM schedule pages when not use_meta
+
+
+def plan_schedule(
+    n_local: int,  # table (shard) bucket count
+    n_padded: int,  # sorted query array length incl. invalid tail slack
+    *,
+    cap: int,
+    max_probe: int,
+    aug: int = 1,
+    group: int = 0,
+    coarse: int = 0,
+    chain_block: int | None = None,
+    block_probe=None,  # numpy int array for the exact bound; None/traced for
+    # the conservative one
+) -> SchedulePlan:
+    """The static half of stream_count's schedule math, shared with scripts,
+    the pipeline auto-tuner and tests so the paged/meta prediction can never
+    drift from the kernel's own decision.
+
+    Static schedule bound: group g contributes rounds_g * n_tiles_g entries
+    with n_tiles_g = ceil((end_g - base_g)/cap) and base_g aligned down below
+    start_g, so n_tiles_g <= w_g/cap + 2 (one ceil tile + one alignment tile
+    beyond the group's query share w_g; a single extra tile is not airtight
+    against adversarial window-size patterns). Summing over groups:
+    entries <= max_rounds * (Σ w_g)/cap + 2 Σ rounds_g, with Σ w_g = n_padded.
+    The XLA-side schedule build costs gathers/cumsum proportional to t_pad
+    (measured 14 ms/chunk at 32K groups with the older, looser
+    max_rounds * 2 * n_groups slack), so the exact Σ rounds_g is used
+    whenever block_probe is static — the production path."""
+    bpb = min(CHAIN_BLOCK, n_local) if chain_block is None else chain_block
+    n_blocks = n_local // bpb
+    coarse = coarse or DEFAULT_COARSE
+    group = group or DEFAULT_GROUP
+    group = max(1, min(group, n_blocks))
+    while n_blocks % group:
+        group //= 2
+    gpb = group * bpb
+    n_groups = n_blocks // group
+    coarse = max(1, min(coarse // group, n_groups))
+    while n_groups % coarse:
+        coarse //= 2
+
+    static_bp = block_probe is not None and not isinstance(
+        block_probe, jax.core.Tracer
+    )
+    if block_probe is None:
+        max_rounds = max_probe
+        sum_rounds = n_groups * -(-max_probe // aug)
+    elif static_bp:
+        bp_np = np.asarray(block_probe)
+        max_rounds = max(1, int(bp_np.max(initial=1)))
+        # mirror stream_count's traced transform (group max, aug ceil-div,
+        # clip) so the bound can use the exact sum
+        r_np = bp_np.astype(np.int64)
+        if group > 1:
+            r_np = r_np.reshape(n_groups, group).max(axis=1)
+        r_np = -(-r_np // aug)
+        sum_rounds = int(np.clip(r_np, 1, -(-max_rounds // aug)).sum())
+    else:  # traced per-block bounds: only max_probe is static
+        max_rounds = max_probe
+        sum_rounds = None
+    if aug > 1:
+        max_rounds = -(-max_rounds // aug)
+    if sum_rounds is None:
+        sum_rounds = n_groups * max_rounds
+    if max_rounds > (1 << PROBE_BITS):
+        # tables built here respect layout.max_probe_limit(aug) ==
+        # aug << PROBE_BITS; a larger bound means a corrupt/foreign table —
+        # clipping would silently drop hits past the schedulable rounds (the
+        # gather path would still probe them, so the two paths would diverge)
+        raise ValueError(
+            f"table needs {max_rounds} scheduled probe rounds at aug={aug}, "
+            f"over the stream kernel's schedule limit {1 << PROBE_BITS}; "
+            "rebuild the table or use probe='gather'"
+        )
+    t_pad = max_rounds * (n_padded // cap + 1) + 2 * sum_rounds
+    base_len = 2 * n_groups + 2 + n_groups // coarse + 1
+    use_meta = base_len + 2 * t_pad <= SMEM_I32_BUDGET
+    if base_len > SMEM_I32_BUDGET:
+        raise ValueError(
+            f"table too large for a single-chip stream kernel ({n_blocks} "
+            "chain blocks of scalar metadata exceed SMEM); shard the index "
+            "(--index-parallel) or use probe='gather'"
+        )
+    n_pages = 0 if use_meta else -(-t_pad // PAGE)
+    return SchedulePlan(
+        n_groups=n_groups, gpb=gpb, group=group, coarse=coarse,
+        max_rounds=max_rounds, sum_rounds=sum_rounds, t_pad=t_pad,
+        use_meta=use_meta, n_pages=n_pages,
+    )
 
 
 def sort_queries(q_lo, q_hi, valid, n_buckets: int, seed: int, pad_to: int = 0):
@@ -508,17 +614,6 @@ def stream_count(
     # the DMA-offset alignment promised to Mosaic (pl.multiple_of) requires
     # tile strides to preserve the window base's alignment
     assert cap % min(ALIGN, cap) == 0, f"cap must be a multiple of {ALIGN} (or < {ALIGN})"
-    n_blocks = n_local // bpb
-    coarse = coarse or DEFAULT_COARSE
-    group = group or DEFAULT_GROUP
-    group = max(1, min(group, n_blocks))
-    while n_blocks % group:
-        group //= 2
-    gpb = group * bpb
-    n_groups = n_blocks // group
-    coarse = max(1, min(coarse // group, n_groups))  # grid-step size in groups
-    while n_groups % coarse:
-        coarse //= 2
     n = sorted_m_lo.shape[0]
     if tail_padded:
         pad = 0  # sort_queries already appended the invalid tail slack
@@ -531,70 +626,29 @@ def stream_count(
     q = jnp.stack([sorted_m_lo, sorted_m_hi])  # (2, n_padded)
     counts2d = counts.reshape(n_local, BUCKET_KEYS)
 
-    sum_rounds = None  # static Σ per-group scheduled rounds, when known
+    # static schedule shapes + the paged-vs-SMEM ("meta") decision: the
+    # per-tile schedule arrays only fit scalar-prefetch SMEM (~1 MB) for
+    # small/medium tables; for large tables the schedule lives in HBM and is
+    # PAGED through VMEM into SMEM (see _kernel and plan_schedule)
+    plan = plan_schedule(
+        n_local, n + pad, cap=cap, max_probe=max_probe, aug=aug, group=group,
+        coarse=coarse, chain_block=bpb, block_probe=block_probe,
+    )
+    n_groups, gpb, group, coarse = plan.n_groups, plan.gpb, plan.group, plan.coarse
+    max_rounds, t_pad, use_meta = plan.max_rounds, plan.t_pad, plan.use_meta
+    n_pages = plan.n_pages
+
     if block_probe is None:
         rounds = jnp.full(n_groups, max_probe, dtype=jnp.int32)
-        max_rounds = max_probe
-        sum_rounds = n_groups * -(-max_probe // aug)
     else:
         # per-group chain bound = max over the group's chain blocks
         rounds = jnp.asarray(block_probe, dtype=jnp.int32)
-        if group > 1:
-            rounds = rounds.reshape(n_groups, group).max(axis=1)
-        # static bound on scheduled rounds per block, for the SMEM budget
-        if isinstance(block_probe, jax.core.Tracer):
-            max_rounds = max_probe
-        else:
-            bp_np = np.asarray(block_probe)
-            max_rounds = max(1, int(bp_np.max(initial=1)))
-            # mirror the traced transform below (group max, aug ceil-div,
-            # clip) so the static schedule bound can use the exact sum
-            r_np = bp_np.astype(np.int64)
-            if group > 1:
-                r_np = r_np.reshape(n_groups, group).max(axis=1)
-            r_np = -(-r_np // aug)
-            sum_rounds = int(np.clip(r_np, 1, -(-max_rounds // aug)).sum())
+        if plan.group > 1:
+            rounds = rounds.reshape(n_groups, plan.group).max(axis=1)
     if aug > 1:
         # one scheduled round covers ``aug`` chain positions
         rounds = (rounds + jnp.int32(aug - 1)) // jnp.int32(aug)
-        max_rounds = -(-max_rounds // aug)
-    if max_rounds > (1 << PROBE_BITS):
-        # tables built here respect layout.max_probe_limit(aug) ==
-        # aug << PROBE_BITS; a larger bound means a corrupt/foreign table —
-        # clipping would silently drop hits past the schedulable rounds (the
-        # gather path would still probe them, so the two paths would diverge)
-        raise ValueError(
-            f"table needs {max_rounds} scheduled probe rounds at aug={aug}, "
-            f"over the stream kernel's schedule limit {1 << PROBE_BITS}; "
-            "rebuild the table or use probe='gather'"
-        )
-
-    # scalar-prefetch operands live in SMEM (~1 MB): the per-tile schedule
-    # arrays only fit there for small/medium tables; for large tables the
-    # schedule lives in HBM and is PAGED through VMEM into SMEM (see _kernel)
-    # static schedule bound: group g contributes rounds_g * n_tiles_g entries
-    # with n_tiles_g = ceil((end_g - base_g)/cap) and base_g aligned down
-    # below start_g, so n_tiles_g <= w_g/cap + 2 (one ceil tile + one
-    # alignment tile beyond the group's query share w_g; a single extra tile
-    # is not airtight against adversarial window-size patterns). Summing,
-    # entries <= max_rounds * (Σ w_g)/cap + 2 Σ rounds_g with Σ w_g = n + pad.
-    # The XLA-side schedule build below costs gathers/cumsum proportional to
-    # t_pad (measured 14 ms/chunk at 32K groups with the old
-    # max_rounds * 2 * n_groups slack), so use the exact Σ rounds_g whenever
-    # block_probe is static — the production path; tables ship it as numpy.
-    if sum_rounds is None:
-        sum_rounds = n_groups * max_rounds
-    t_pad = max_rounds * ((n + pad) // cap + 1) + 2 * sum_rounds
-    base_len = 2 * n_groups + 2 + n_groups // coarse + 1
-    use_meta = base_len + 2 * t_pad <= SMEM_I32_BUDGET
-    if base_len > SMEM_I32_BUDGET:
-        raise ValueError(
-            f"table too large for a single-chip stream kernel ({n_blocks} chain "
-            "blocks of scalar metadata exceed SMEM); shard the index "
-            "(--index-parallel) or use probe='gather'"
-        )
     n_slots = N_DMA_SLOTS
-    n_pages = 0 if use_meta else -(-t_pad // PAGE)
 
     in_specs = [
         pl.BlockSpec((coarse * gpb, aug * BUCKET_KEYS), lambda i, off: (i, 0)),

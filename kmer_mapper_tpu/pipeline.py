@@ -199,7 +199,7 @@ def make_mapper_and_chunks(
     read are sliced away before the sort instead of masked through it (~20%
     of the array at 151 bp). Later non-uniform chunks take a ragged twin
     step with identical results."""
-    buf = _round_up(min(max(chunk_size, _buf_floor()), 64 << 20), 1 << 13)
+    buf = _round_up(min(max(chunk_size, _buf_floor(index, k)), 64 << 20), 1 << 13)
     make_config = lambda read_len: default_config(  # noqa: E731
         k=k,
         buf=buf,
@@ -260,7 +260,10 @@ def map_file_sharded(
 
     index = load_index(index)
     mesh = make_mesh(n_devices=n_devices, index_parallel=index_parallel)
-    buf = _round_up(min(max(chunk_size, _buf_floor()), 64 << 20), 1 << 13)
+    buf = _round_up(
+        min(max(chunk_size, _buf_floor(index, k, n_shards=index_parallel)), 64 << 20),
+        1 << 13,
+    )
     make_config = lambda read_len: default_config(  # noqa: E731
         k=k,
         buf=buf,
@@ -342,12 +345,44 @@ def _detect_read_len(first_chunk, k: int) -> int:
     return 0
 
 
-def _buf_floor() -> int:
+def _buf_floor(index: TpuKmerIndex | None = None, k: int = 31, n_shards: int = 1) -> int:
     import jax
 
     # CSE-free r3 sweep on v5e: 16 Mi beats 32/64 Mi (286/260/253 Mk/s) with
     # the mixed-key 2-operand sort; early (CSE-distorted) sweeps said otherwise
-    return 16 << 20 if jax.default_backend() == "tpu" else 1 << 16
+    if jax.default_backend() != "tpu":
+        return 1 << 16
+    floor = 16 << 20
+    if index is None:
+        return floor
+    # LARGE tables (schedule paged through HBM instead of SMEM-resident):
+    # the per-chunk kernel tile count is ~constant (one-plus tiles per chain
+    # block per probe round), so bigger chunks amortize it — measured 210 vs
+    # 151 Mk/s at 64 vs 16 Mi on a 4.19M-bucket table (r3_large_table.py),
+    # where the small-table ordering is the reverse. Decide with the kernel's
+    # own schedule planner at the 16 Mi floor; with a sharded index each
+    # shard's schedule is what matters (approximated by the first shard's
+    # block span).
+    from .models.mapper import auto_stream_cap
+    from .ops import stream_probe
+
+    t = index.table
+    n_local = max(128, t.n_buckets // max(1, n_shards))
+    cap = auto_stream_cap(floor, t.n_buckets, 0, k)
+    n_q = floor  # query slots before invalid thinning (upper bound)
+    try:
+        plan = stream_probe.plan_schedule(
+            n_local,
+            n_q + (-n_q) % cap + 2 * cap,
+            cap=cap,
+            max_probe=t.max_probe,
+            block_probe=t.block_max_probe()[: n_local // min(128, n_local)],
+        )
+        if not plan.use_meta:
+            floor = 64 << 20
+    except ValueError:
+        floor = 64 << 20  # beyond even the paged single-chip schedule
+    return floor
 
 
 def _round_up(x: int, m: int) -> int:

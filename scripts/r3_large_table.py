@@ -19,7 +19,7 @@ import numpy as np
 K = 31
 READ_LEN = 151
 BUF = int(os.environ.get("KMT_BENCH_BUF", 16 << 20))
-STEPS = 8
+STEPS = int(os.environ.get("STEPS", 8))  # distinct chunks per jitted window
 N_WINDOWS = 3
 
 
@@ -75,18 +75,15 @@ def main():
         k=K, buf=BUF, max_reads=BUF // 64, read_len=READ_LEN,
         stream_cap=cap, aug=aug, group=grp,
     )
-    # confirm which schedule mode this size lands in (mirrors stream_count's
-    # tight static bound: max_rounds*ceil(n/cap) + 2*sum(per-group rounds))
-    n_blocks = table.n_buckets // min(layout.CHAIN_BLOCK, table.n_buckets)
-    g = max(1, grp)
-    r_np = bp.astype(np.int64).reshape(n_blocks // g, g).max(axis=1)
-    r_np = np.clip(-(-r_np // aug), 1, None)
-    n_q = BUF // READ_LEN * (READ_LEN - K + 1) + 3 * cap
-    t_pad_est = int(r_np.max()) * (n_q // cap + 1) + 2 * int(r_np.sum())
-    n_groups = n_blocks // g
-    use_meta = 3 * n_groups + 3 + 2 * t_pad_est <= stream_probe.SMEM_I32_BUDGET
+    # confirm which schedule mode this size lands in (the kernel's own plan)
+    n_q = BUF // READ_LEN * (READ_LEN - K + 1)
+    plan = stream_probe.plan_schedule(
+        table.n_buckets, n_q + (-n_q) % cap + 2 * cap, cap=cap,
+        max_probe=table.max_probe, aug=aug, group=grp, block_probe=bp,
+    )
+    g, use_meta = plan.group, plan.use_meta
     log(
-        f"cap={cap} n_blocks={n_blocks} group={g} t_pad~{t_pad_est} "
+        f"cap={cap} n_groups={plan.n_groups} group={g} t_pad={plan.t_pad} "
         f"-> schedule mode: {'meta' if use_meta else 'PAGED'}"
     )
 
