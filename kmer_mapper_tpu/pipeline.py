@@ -199,7 +199,14 @@ def make_mapper_and_chunks(
     read are sliced away before the sort instead of masked through it (~20%
     of the array at 151 bp). Later non-uniform chunks take a ragged twin
     step with identical results."""
-    buf = _round_up(min(max(chunk_size, _buf_floor(index, k)), 64 << 20), 1 << 13)
+    floor = _buf_floor(index, k)
+    buf = _round_up(min(max(chunk_size, floor), 64 << 20), 1 << 13)
+    if floor > 16 << 20:
+        logger.info(
+            "large index (%d buckets): schedule is HBM-paged, raising the "
+            "device buffer to %d Mi bases to amortize the per-block kernel "
+            "tiles", index.table.n_buckets, buf >> 20,
+        )
     make_config = lambda read_len: default_config(  # noqa: E731
         k=k,
         buf=buf,
