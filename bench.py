@@ -101,10 +101,19 @@ def main():
         k=K, buf=BUF, max_reads=BUF // 64, read_len=READ_LEN,
         stream_cap=auto_stream_cap(BUF, table.n_buckets, READ_LEN),
     )
+    # the stream path rides the strided word-plane packing + plane step (what
+    # the pipeline does for detected fixed-length files); the gather path
+    # (CPU fallback) keeps the continuous layout
+    use_plane = config.probe == "stream"
     packed = [
-        next(iter(pack_for_device(iter([c]), config.buf, config.max_reads, K)))
+        next(iter(pack_for_device(
+            iter([c]), config.buf, config.max_reads, K,
+            read_len=READ_LEN if use_plane else 0,
+        )))
         for c in chunks
     ]
+    if use_plane:
+        assert all(p[5] for p in packed)  # uniform reads -> strided layout
     if config.probe == "stream" and config.aug > 1:
         aug_lo, aug_hi = table.aug_keys(config.aug)
         key_lo = jax.device_put(aug_lo)
@@ -113,25 +122,43 @@ def main():
         key_lo = jax.device_put(table.key_lo)
         key_hi = jax.device_put(table.key_hi)
     counts = jax.device_put(jnp.zeros(table.n_slots, dtype=jnp.uint32))
-    resident = [
-        (jax.device_put(p), jax.device_put(ln), jnp.int32(nb))
-        for p, ln, nb, _, _ in packed
-    ]
-    step = functools.partial(
-        chunk_step,
-        config=config,
-        max_probe=table.max_probe,
-        seed=table.seed,
-        block_probe=table.block_max_probe() if config.probe == "stream" else None,
-    )
+    block_probe = table.block_max_probe() if config.probe == "stream" else None
+    if use_plane:
+        from kmer_mapper_tpu.models.mapper import plane_chunk_step
 
-    def window(key_lo, key_hi, counts, resident):
-        total = jnp.uint32(0)
-        for i in range(STEPS):
-            p, ln, nb = resident[i]  # distinct chunks — see methodology note
-            counts, n_valid = step(key_lo, key_hi, counts, p, ln, nb)
-            total = total + n_valid
-        return counts, total
+        resident = [
+            (jax.device_put(p), jnp.int32(nb // READ_LEN))
+            for p, ln, nb, _, _, _ in packed
+        ]
+        step = functools.partial(
+            plane_chunk_step, config=config, max_probe=table.max_probe,
+            seed=table.seed, block_probe=block_probe,
+        )
+
+        def window(key_lo, key_hi, counts, resident):
+            total = jnp.uint32(0)
+            for i in range(STEPS):
+                p, nr = resident[i]  # distinct chunks — see methodology note
+                counts, n_valid = step(key_lo, key_hi, counts, p, nr)
+                total = total + n_valid
+            return counts, total
+    else:
+        resident = [
+            (jax.device_put(p), jax.device_put(ln), jnp.int32(nb))
+            for p, ln, nb, _, _ in packed
+        ]
+        step = functools.partial(
+            chunk_step, config=config, max_probe=table.max_probe,
+            seed=table.seed, block_probe=block_probe,
+        )
+
+        def window(key_lo, key_hi, counts, resident):
+            total = jnp.uint32(0)
+            for i in range(STEPS):
+                p, ln, nb = resident[i]  # distinct chunks — see methodology note
+                counts, n_valid = step(key_lo, key_hi, counts, p, ln, nb)
+                total = total + n_valid
+            return counts, total
 
     window_fn = jax.jit(window, donate_argnums=(2,))
     t = time.perf_counter()
@@ -156,13 +183,13 @@ def main():
     from kmer_mapper_tpu.models.mapper import KmerMapper
 
     mapper = KmerMapper(index, config)
-    mapper.map_chunk(*packed[0][:3])
+    mapper.map_chunk(*packed[0][:3], strided=use_plane)
     _ = mapper.n_kmers_mapped
     before = mapper.n_kmers_mapped
     t = time.perf_counter()
     for i in range(4):
-        p, ln, nb, _, inv = packed[i % len(packed)]
-        mapper.map_chunk(p, ln, nb, inv)
+        p, ln, nb, _, inv = packed[i % len(packed)][:5]
+        mapper.map_chunk(p, ln, nb, inv, strided=use_plane)
     streamed = mapper.n_kmers_mapped - before
     log(f"streaming-feed rate: {streamed / (time.perf_counter() - t) / 1e6:.1f} Mkmers/s")
 

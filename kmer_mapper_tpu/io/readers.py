@@ -316,12 +316,63 @@ def split_long_reads(chunk: SequenceChunk, max_len: int, k: int) -> SequenceChun
     return SequenceChunk(bases=np.concatenate(new_bases), read_starts=starts)
 
 
+def strided_rows(max_bases: int, read_len: int) -> int:
+    """Row capacity of the strided fixed-read-length layout: a continuous
+    buffer of ``max_bases`` can hold at most this many conforming reads, so
+    both the direct strided packer and :func:`restride_packed` emit exactly
+    this many rows (one static shape for the plane step to compile against)."""
+    return max_bases // read_len
+
+
+def restride_packed(
+    packed: np.ndarray, n_reads: int, read_len: int, rows: int
+) -> np.ndarray:
+    """Continuous 2-bit packing -> the stride-padded layout of
+    ``pack_for_device(read_len=...)``, bit-exactly.
+
+    Used on buffers from producers that pack continuously (the native C++
+    loader) when the chunk is uniform fixed-length: read r's bases start at
+    bit ``2*read_len*r`` of the continuous stream; the strided layout wants
+    them word-aligned at ``read_stride(read_len)`` bases per read with 'A'
+    (code 0) padding. ``rows`` is the layout's static row capacity
+    (``strided_rows``). Pure word shifts; bit-equality with the direct
+    strided packer is pinned by ``tests/test_plane_path.py``."""
+    from ..ops.hashing import read_stride
+
+    stride = read_stride(read_len)
+    npr = stride // 16
+    R = int(n_reads)
+    assert R <= rows
+    out = np.zeros(rows * npr, dtype=np.uint32)
+    if R == 0:
+        return out
+    base_bit = 2 * read_len * np.arange(R, dtype=np.int64)
+    w0 = (base_bit >> 5)[:, None] + np.arange(npr, dtype=np.int64)[None, :]
+    assert int(w0[-1, -1]) + 1 < packed.shape[0], "packed buffer too short"
+    s = (base_bit & 31).astype(np.uint32)[:, None]
+    a = packed[w0]
+    b = packed[w0 + 1]
+    words = (a >> s) | np.where(s == 0, np.uint32(0), b << (np.uint32(32) - s))
+    # mask pad bases of the last word of each read to 'A' (code 0) so the
+    # result is identical to packing 'A'-padded rows directly
+    tail_bits = 2 * read_len - 32 * ((2 * read_len - 1) // 32)
+    last = (2 * read_len - 1) // 32  # word index (within the read) of the last base
+    if last < npr:
+        words[:, last] &= np.uint32(
+            (1 << tail_bits) - 1 if tail_bits < 32 else 0xFFFFFFFF
+        )
+        words[:, last + 1 :] = 0
+    out[: R * npr] = words.reshape(-1)
+    return out
+
+
 def pack_for_device(
     chunks: Iterator[SequenceChunk],
     max_bases: int,
     max_reads: int,
     k: int,
-) -> Iterator[tuple[np.ndarray, np.ndarray, int, int, int]]:
+    read_len: int = 0,
+) -> Iterator[tuple]:
     """Repack framed chunks into fixed-shape packed device buffers.
 
     Yields (packed_codes uint32[max_bases/16 + 2], read_lengths
@@ -329,11 +380,24 @@ def pack_for_device(
     invalid-base counting) and 2-bit packing happen here on the host: packed
     codes are 4x smaller than ASCII on the host->device link. Reads longer
     than min(65535, max_bases) are split with k-1 overlap (exact window set).
-    Fixed shapes let the XLA step compile once per run."""
+    Fixed shapes let the XLA step compile once per run.
+
+    ``read_len > 0`` (the detected fixed-read-length fast path) appends a
+    sixth tuple element ``strided: bool``. A buffer whose reads are all
+    exactly ``read_len`` long is emitted in the strided layout — each read
+    padded to ``hashing.read_stride(read_len)`` bases of 'A' so it starts
+    word-aligned, ``strided_rows(max_bases, read_len)`` rows total — which
+    ``hashing.plane_hash_mixed`` consumes. Other buffers fall back to the
+    continuous layout (``strided=False``; the mapper routes them to the
+    ragged step). Capacity accounting is unchanged (real bases), so a
+    conforming stream carries the same ``max_bases // read_len`` reads per
+    buffer either way."""
     from ..ops.encode import host_encode_pack
+    from ..ops.hashing import read_stride
 
     max_read_len = min(65535, max_bases)
     out_words = max_bases // 16 + 2
+    stride = read_stride(read_len) if read_len else 0
     pend_bases: list[np.ndarray] = []
     pend_lengths: list[np.ndarray] = []
     pend_nb = 0
@@ -342,13 +406,23 @@ def pack_for_device(
     def emit():
         nonlocal pend_bases, pend_lengths, pend_nb, pend_nr
         flat = np.concatenate(pend_bases) if pend_bases else np.zeros(0, np.uint8)
-        packed, n_invalid = host_encode_pack(flat, out_words)
         lengths = np.zeros(max_reads, dtype=np.uint16)
         if pend_lengths:
             lengths[:pend_nr] = np.concatenate(pend_lengths)
+        strided = bool(
+            read_len and pend_nr and np.all(lengths[:pend_nr] == read_len)
+        )
+        if strided:
+            rows = np.full((pend_nr, stride), ord("A"), dtype=np.uint8)
+            rows[:, :read_len] = flat.reshape(pend_nr, read_len)
+            flat = rows.reshape(-1)
+            n_words = strided_rows(max_bases, read_len) * (stride // 16)
+        else:
+            n_words = out_words
+        packed, n_invalid = host_encode_pack(flat, n_words)
         out = (packed, lengths, pend_nb, pend_nr, n_invalid)
         pend_bases, pend_lengths, pend_nb, pend_nr = [], [], 0, 0
-        return out
+        return out + ((strided,) if read_len else ())
 
     for chunk in chunks:
         chunk = split_long_reads(chunk, max_read_len, k)

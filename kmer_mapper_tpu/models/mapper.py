@@ -154,6 +154,49 @@ def chunk_step(
     return counts, n_valid
 
 
+def plane_chunk_step(
+    key_lo: jnp.ndarray,
+    key_hi: jnp.ndarray,
+    counts: jnp.ndarray,  # donated
+    packed: jnp.ndarray,  # uint32[packed_words], STRIDE-padded reads
+    n_reads: jnp.ndarray,  # int32 scalar
+    *,
+    config: MapperConfig,
+    max_probe: int,
+    seed: int,
+    block_probe=None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fixed-read-length fast step over stride-padded packing.
+
+    Replaces ``chunk_step``'s rolling hash + window slice with
+    ``hashing.plane_hash_mixed`` (contiguous word-plane shift/ORs; see its
+    docstring for the measured win) when the chunk was packed with
+    ``pack_for_device(..., read_len=L)``. Returns (counts', n_valid)."""
+    assert config.probe == "stream" and config.read_len
+    cap = config.stream_cap or stream_probe.DEFAULT_CAP
+    m_lo, m_hi = hashing.plane_hash_mixed(
+        packed, config.k, config.read_len, n_reads, seed, pad_to=cap,
+        revcomp=config.revcomp,
+    )
+    counts = stream_probe.stream_probe_count_mixed(
+        key_lo, key_hi, counts, m_lo, m_hi, max_probe,
+        cap=cap, interpret=config.interpret, block_probe=block_probe,
+        group=config.group,
+    )
+    W = config.read_len - config.k + 1
+    n_valid = (n_reads * W).astype(jnp.uint32)
+    return counts, n_valid
+
+
+def make_plane_step(config: MapperConfig, max_probe: int, seed: int, block_probe=None):
+    """Compile the stride-packed fixed-read-length step (counts donated)."""
+    fn = functools.partial(
+        plane_chunk_step, config=config, max_probe=max_probe, seed=seed,
+        block_probe=block_probe,
+    )
+    return jax.jit(fn, donate_argnums=(2,))
+
+
 def make_step(config: MapperConfig, max_probe: int, seed: int, block_probe=None):
     """Compile the chunk step; count state donated for in-place accumulation.
 
@@ -272,6 +315,15 @@ class KmerMapper:
         self._step = make_step(
             config, index.table.max_probe, index.table.seed, block_probe
         )
+        # stride-packed fast step (pack_for_device(read_len=L) buffers); jit
+        # is lazy so this compiles only if strided chunks actually arrive
+        self._plane_step = (
+            make_plane_step(
+                config, index.table.max_probe, index.table.seed, block_probe
+            )
+            if config.probe == "stream" and config.read_len
+            else None
+        )
         self._ragged_step = None  # lazy twin for chunks that break read_len
         self._stats: list[jnp.ndarray] = []  # per-chunk n_valid device scalars
         self._pending: list = []  # host-buffered chunks awaiting a super-batch
@@ -296,9 +348,36 @@ class KmerMapper:
         self.n_invalid_bases = 0
 
     def map_chunk(
-        self, packed: np.ndarray, lengths: np.ndarray, n_bases: int, n_invalid: int = 0
+        self,
+        packed: np.ndarray,
+        lengths: np.ndarray,
+        n_bases: int,
+        n_invalid: int = 0,
+        strided: bool = False,
     ) -> None:
+        """Fold one packed chunk into the count state.
+
+        ``strided=True`` marks a buffer packed by ``pack_for_device(...,
+        read_len=L)`` with every read padded to ``hashing.read_stride(L)``
+        bases (all reads exactly L long, ``n_bases`` = L * n_reads): it takes
+        the word-plane fast step. Continuous buffers (default) take the
+        interleaved-hash step as before."""
         self.n_invalid_bases += n_invalid
+        if strided:
+            assert self._plane_step is not None, (
+                "strided chunks require probe='stream' and config.read_len"
+            )
+            assert self.config.super_batch == 1
+            n_reads = n_bases // self.config.read_len
+            self.counts, n_valid = self._plane_step(
+                self.key_lo,
+                self.key_hi,
+                self.counts,
+                jnp.asarray(packed),
+                jnp.int32(n_reads),
+            )
+            self._stats.append(n_valid)
+            return
         if self.config.super_batch == 1:
             step = self._step
             if self.config.read_len and not self._chunk_is_fixed(lengths, n_bases):

@@ -18,6 +18,7 @@ k-mers never cross read boundaries and short reads yield none.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -69,6 +70,95 @@ def rolling_kmer_hash_packed(
     lo = jnp.stack(los, axis=1).reshape(-1)
     hi = jnp.stack(his, axis=1).reshape(-1)
     return lo, hi
+
+
+def read_stride(read_len: int) -> int:
+    """Packed stride (bases) for fixed-length reads: the next multiple of 16,
+    so each read starts word-aligned and owns ``read_stride // 16`` whole
+    words. See :func:`plane_hash_mixed`."""
+    return -(-read_len // 16) * 16
+
+
+def plane_hash_mixed(
+    packed: jnp.ndarray,
+    k: int,
+    read_len: int,
+    n_reads: jnp.ndarray,  # int32 scalar: rows beyond it become invalid
+    seed: int,
+    pad_to: int,
+    revcomp: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Sort-ready mixed hashes from stride-padded fixed-length-read packing.
+
+    The fast-path replacement for ``rolling_kmer_hash_packed`` + the
+    ``(R, L)[:, :W]`` window slice + ``feistel_mix``: with each read padded to
+    ``read_stride(read_len)`` bases at packing time, every valid window
+    s = 16*j + p of a read lives entirely in that read's own words j..j+2
+    (2*s + 2*k <= 2*read_len <= 2*stride), so the W = read_len-k+1 valid
+    windows are W static (p, j) combos, each a shift/OR over contiguous
+    word-plane columns of the (stride/16, R) transpose. No 16-phase
+    interleave, no lane-misaligned slice: measured 0.83 ms vs 4.7 ms per
+    16 Mi chunk on v5e (scripts/r4_plane_hash.py; the slice relayout alone
+    was ~3.9 ms, r3_s_dissect.py).
+
+    Output order is a fixed permutation of window order; the stream path's
+    sort erases it. Rows >= ``n_reads`` and the ``pad_to`` tail become the
+    all-ones invalid pattern (sorts last; kernel masks). With ``revcomp``,
+    the reverse-complement hash of every window is appended (same single
+    table sweep as the interleaved path).
+
+    Returns UNSORTED pre-mixed, pre-padded (m_lo, m_hi) ready for
+    ``stream_probe.stream_probe_count_mixed``.
+    """
+    from .stream_probe import INVALID_WORD
+    from .u32hash import feistel_mix
+
+    assert 1 <= k <= 31 and read_len >= k
+    stride = read_stride(read_len)
+    npr = stride // 16
+    R = packed.shape[0] // npr
+    planes = packed[: R * npr].reshape(R, npr).T  # (npr, R) contiguous planes
+    zeros = jnp.zeros(R, jnp.uint32)
+
+    def col(j):
+        return planes[j] if j < npr else zeros
+
+    lo_mask = jnp.uint32(0xFFFFFFFF if k >= 16 else (1 << (2 * k)) - 1)
+    hi_mask = jnp.uint32((1 << max(0, 2 * k - 32)) - 1)
+    valid_row = (
+        jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0).reshape(R) < n_reads
+    )
+    inv = jnp.uint32(INVALID_WORD)
+    mlos, mhis = [], []
+
+    def emit(lo, hi):
+        m_lo, m_hi = feistel_mix(lo, hi, seed=seed, xp=jnp)
+        mlos.append(jnp.where(valid_row, m_lo, inv))
+        mhis.append(jnp.where(valid_row, m_hi, inv))
+
+    for p in range(16):
+        s2 = 2 * p
+        for j in range(npr):
+            if 16 * j + p > read_len - k:
+                continue
+            w0, w1, w2 = col(j), col(j + 1), col(j + 2)
+            if s2:
+                lo = ((w0 >> s2) | (w1 << (32 - s2))) & lo_mask
+                hi = ((w1 >> s2) | (w2 << (32 - s2))) & hi_mask
+            else:
+                lo = w0 & lo_mask
+                hi = w1 & hi_mask
+            emit(lo, hi)
+            if revcomp:
+                emit(*revcomp_lo_hi(lo, hi, k))
+    assert len(mlos) == (read_len - k + 1) * (2 if revcomp else 1)
+    m_lo = jnp.concatenate(mlos)
+    m_hi = jnp.concatenate(mhis)
+    n = m_lo.shape[0]
+    pad = (-n) % pad_to + 2 * pad_to
+    m_lo = jnp.concatenate([m_lo, jnp.full(pad, inv, jnp.uint32)])
+    m_hi = jnp.concatenate([m_hi, jnp.full(pad, inv, jnp.uint32)])
+    return m_lo, m_hi
 
 
 def select_windows_mxu(x: jnp.ndarray, R: int, L: int, W: int) -> jnp.ndarray:

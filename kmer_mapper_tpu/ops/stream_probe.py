@@ -782,3 +782,47 @@ def stream_probe_count(
         group=group,
         tail_padded=True,
     )
+
+
+def stream_probe_count_mixed(
+    key_lo,
+    key_hi,
+    counts,
+    m_lo,
+    m_hi,
+    max_probe: int,
+    cap: int = DEFAULT_CAP,
+    interpret: bool = False,
+    block_probe=None,
+    coarse: int = 0,
+    group: int = 0,
+):
+    """Stream path for PRE-MIXED, pre-padded, unsorted queries.
+
+    ``(m_lo, m_hi)`` are feistel-mixed word pairs whose invalid entries are
+    already the all-ones pattern and whose tail already carries >= 2*cap of
+    invalid slack (``hashing.plane_hash_mixed`` emits exactly this) — the
+    sort here is the same 2-operand ``lax.sort`` as ``sort_queries``, minus
+    the mix/mask/pad it no longer needs."""
+    n_buckets = key_lo.shape[0]
+    sm_lo, sm_hi = lax.sort((m_lo, m_hi), dimension=0, num_keys=1, is_stable=False)
+    bpb = min(CHAIN_BLOCK, n_buckets)
+    off = block_offsets(sm_lo, n_buckets, bpb)
+    # the last tile window can overhang its block bound by up to cap-1, so the
+    # top bound must leave one tile of the pre-padded tail unclaimed
+    off = jnp.minimum(off, jnp.int32(sm_lo.shape[0] - cap))
+    return stream_count(
+        key_lo,
+        key_hi,
+        counts,
+        sm_lo,
+        sm_hi,
+        off,
+        max_probe,
+        cap=cap,
+        interpret=interpret,
+        block_probe=block_probe,
+        coarse=coarse,
+        group=group,
+        tail_padded=True,
+    )

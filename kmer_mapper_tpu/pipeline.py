@@ -25,7 +25,7 @@ import numpy as np
 
 from .index.kmer_index import TpuKmerIndex, load_index
 from .io import readers
-from .models.mapper import KmerMapper, MapperConfig, default_config
+from .models.mapper import KmerMapper, MapperConfig, chunk_is_fixed, default_config
 from .utils.timing import log_memory_usage_now, span
 
 logger = logging.getLogger(__name__)
@@ -130,14 +130,14 @@ def map_file(
     from .utils import profiling
 
     with profiling.trace(profile_dir) if profile_dir else contextlib.nullcontext():
-        for packed_codes, lengths, n_bases, n_reads, n_invalid in chunk_iter:
+        for packed_codes, lengths, n_bases, n_reads, n_invalid, strided in chunk_iter:
             if strict_bases and n_invalid:
                 raise ValueError(
                     f"{n_invalid} invalid (non-ACGTN) bases in input "
                     "(--strict-bases; the reference's DNAEncoding would raise too)"
                 )
             with profiling.step_annotation("map_chunk") if profile_dir else contextlib.nullcontext():
-                mapper.map_chunk(packed_codes, lengths, n_bases, n_invalid)
+                mapper.map_chunk(packed_codes, lengths, n_bases, n_invalid, strided=strided)
             n_chunks += 1
             if bar is not None:
                 bar.update(min(1, bar.total - bar.n))
@@ -222,7 +222,35 @@ def make_mapper_and_chunks(
         return mapper, iter(())
     import itertools
 
-    return mapper, itertools.chain([first], chunks)
+    return mapper, _strided_chunks(itertools.chain([first], chunks), mapper.config)
+
+
+def _strided_chunks(packed_iter, config: MapperConfig):
+    """Normalize packed chunks to 6-tuples (+``strided``), restriding fixed
+    uniform-read_len buffers into the word-plane layout on the fly.
+
+    Producers pack continuously (the native loader always; ``pack_for_device``
+    unless asked otherwise); when the mapper runs the fixed-read-length stream
+    path, conforming buffers are restrided here — inside the prefetch
+    thread's pull, so the host word shifts overlap device compute. Buffers
+    that are not uniform ``read_len`` reads pass through continuous and take
+    the ragged step (identical results)."""
+    use_plane = bool(config.read_len) and config.probe == "stream"
+    rows = readers.strided_rows(config.buf, config.read_len) if use_plane else 0
+    for tup in packed_iter:
+        if len(tup) == 6:  # pack_for_device(read_len=...) already decided
+            yield tup
+            continue
+        packed, lengths, n_bases, n_reads, n_invalid = tup
+        strided = (
+            use_plane
+            and chunk_is_fixed(lengths, n_bases, config.read_len)
+        )
+        if strided:
+            packed = readers.restride_packed(
+                packed, n_bases // config.read_len, config.read_len, rows
+            )
+        yield packed, lengths, n_bases, n_reads, n_invalid, strided
 
 
 def packed_chunk_iterator(reads_path: str, config: MapperConfig, chunk_size: int):

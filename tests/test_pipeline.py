@@ -282,8 +282,9 @@ def test_map_file_uniform_reads_picks_fixed_read_len(tmp_path):
         map_reverse_complements=False, accumulate="scatter",
     )
     assert mapper.config.read_len == L
-    for packed, lengths, n_bases, _, n_invalid in chunks:
-        mapper.map_chunk(packed, lengths, n_bases, n_invalid)
+    for packed, lengths, n_bases, _, n_invalid, strided in chunks:
+        # CPU default_config picks the gather probe, so chunks stay continuous
+        mapper.map_chunk(packed, lengths, n_bases, n_invalid, strided=strided)
     assert mapper._ragged_step is None  # every chunk took the fast path
     np.testing.assert_array_equal(
         mapper.node_counts(), _oracle_counts(arrays, reads, k)
