@@ -36,12 +36,15 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+import os
+
 K = 31
 READ_LEN = 151
-BUF = 16 << 20  # 16 Mi bases per chunk: the CSE-free sweep optimum on v5e
-# (16/32/64 Mi measure 286/260/253 Mk/s with the mixed-key 2-operand sort —
-# the sort's n log n factor now favors smaller chunks)
-N_UNIQUE = 4_000_000
+BUF = int(os.environ.get("BENCH_BUF_MI", "16")) << 20  # 16 Mi bases per
+# chunk: the CSE-free sweep optimum on v5e (16/32/64 Mi measure 286/260/253
+# Mk/s with the mixed-key 2-operand sort — the sort's n log n factor favors
+# smaller chunks). BENCH_BUF_MI overrides for sweeps.
+N_UNIQUE = int(os.environ.get("BENCH_N_UNIQUE", "4000000"))
 STEPS = 8  # chunk steps chained inside one jitted window
 N_WINDOWS = 4
 BASELINE_SAMPLE_BASES = 2 << 20

@@ -107,8 +107,35 @@ def get_lib():
                 ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint16),
                 ctypes.POINTER(_Out),
             ]
+        lib.kmh_restride.restype = None
+        lib.kmh_restride.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_uint32),
+        ]
         _lib = lib
         return _lib
+
+
+def restride_native(
+    packed: np.ndarray, n_reads: int, read_len: int, rows: int
+) -> np.ndarray | None:
+    """C++ ``kmh_restride`` (continuous -> strided layout), or None when the
+    native library is unavailable. Bit-identical to the numpy fallback in
+    ``readers.restride_packed`` (tests enforce)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from ..ops.hashing import read_stride
+
+    npr = read_stride(read_len) // 16
+    out = np.empty(rows * npr, dtype=np.uint32)
+    packed = np.ascontiguousarray(packed, dtype=np.uint32)
+    lib.kmh_restride(
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        int(n_reads), int(read_len), int(rows),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+    )
+    return out
 
 
 def available() -> bool:

@@ -335,14 +335,23 @@ def restride_packed(
     bit ``2*read_len*r`` of the continuous stream; the strided layout wants
     them word-aligned at ``read_stride(read_len)`` bases per read with 'A'
     (code 0) padding. ``rows`` is the layout's static row capacity
-    (``strided_rows``). Pure word shifts; bit-equality with the direct
-    strided packer is pinned by ``tests/test_plane_path.py``."""
+    (``strided_rows``). Word shifts only — the native C++ ``kmh_restride``
+    when the loader library is available, numpy otherwise; bit-equality of
+    both with the direct strided packer is pinned by
+    ``tests/test_plane_path.py``."""
     from ..ops.hashing import read_stride
 
     stride = read_stride(read_len)
     npr = stride // 16
     R = int(n_reads)
     assert R <= rows
+    if R:
+        from . import native as native_mod
+
+        if native_mod.available():
+            native_out = native_mod.restride_native(packed, R, read_len, rows)
+            if native_out is not None:
+                return native_out
     out = np.zeros(rows * npr, dtype=np.uint32)
     if R == 0:
         return out

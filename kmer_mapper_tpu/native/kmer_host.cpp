@@ -275,4 +275,34 @@ void kmh_pack_fasta(const uint8_t* buf, int64_t len, int32_t eof, int64_t k,
   out->n_invalid = pk.n_invalid;
 }
 
+// Continuous 2-bit packing -> the word-aligned strided layout consumed by
+// the device's fixed-read-length plane hash (see readers.restride_packed,
+// whose numpy form this must match bit-exactly; tests enforce). Read r's
+// bases start at bit 2*read_len*r of the continuous stream; the strided
+// layout gives each read ceil(read_len/16) whole words padded with base
+// code 0 ('A'). `in` must extend one word past the last read's bits (the
+// packer's +2 slack words guarantee it); `out` holds rows*npr words.
+void kmh_restride(const uint32_t* in, int64_t n_reads, int64_t read_len,
+                  int64_t rows, uint32_t* out) {
+  int64_t stride = (read_len + 15) / 16 * 16, npr = stride / 16;
+  int64_t last = (2 * read_len - 1) / 32;  // last used word within a read
+  int64_t tail_bits = 2 * read_len - 32 * last;
+  uint32_t tail_mask =
+      tail_bits >= 32 ? 0xFFFFFFFFu : ((1u << tail_bits) - 1u);
+  memset(out, 0, (size_t)(rows * npr) * sizeof(uint32_t));
+  for (int64_t r = 0; r < n_reads; ++r) {
+    int64_t bit = 2 * read_len * r;
+    const uint32_t* p = in + (bit >> 5);
+    uint32_t* o = out + r * npr;
+    int s = (int)(bit & 31);
+    if (s == 0) {
+      for (int64_t j = 0; j <= last; ++j) o[j] = p[j];
+    } else {
+      for (int64_t j = 0; j <= last; ++j)
+        o[j] = (p[j] >> s) | (p[j + 1] << (32 - s));
+    }
+    o[last] &= tail_mask;
+  }
+}
+
 }  // extern "C"

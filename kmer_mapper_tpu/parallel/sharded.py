@@ -167,6 +167,94 @@ def make_sharded_step(
     return jax.jit(step, donate_argnums=(0,))
 
 
+def make_sharded_plane_step(
+    mesh: Mesh,
+    config: MapperConfig,
+    n_buckets: int,
+    max_probe: int,
+    seed: int,
+    block_probe: "np.ndarray | None" = None,
+):
+    """Multi-device twin of ``models.mapper.plane_chunk_step``: word-plane
+    hashing over stride-padded fixed-read-length packing (see
+    ``hashing.plane_hash_mixed`` for the measured win over the slicing path).
+
+    Global shapes: packed uint32[D, rows*npr] sharded (data, None), n_reads
+    int32[D] sharded (data,); counts/key shards as in ``make_sharded_step``.
+    """
+    assert config.probe == "stream" and config.read_len
+    n_index = mesh.shape[INDEX_AXIS]
+    assert n_buckets % n_index == 0
+    nb_local = n_buckets // n_index
+    chain_block = min(layout.CHAIN_BLOCK, n_buckets)
+    if nb_local % chain_block != 0:
+        raise ValueError(
+            f"stream probe needs chain-block-aligned shards "
+            f"(nb_local={nb_local}, chain_block={chain_block}); use probe='gather'"
+        )
+    k, L = config.k, config.read_len
+    cap = config.stream_cap or stream_probe.DEFAULT_CAP
+    W = L - k + 1
+
+    def local_step(counts, key_lo, key_hi, packed, n_reads):
+        x = jax.lax.axis_index(INDEX_AXIS)
+        row_offset = (x * nb_local).astype(jnp.int32)
+        n_blocks_local = nb_local // chain_block
+        if block_probe is not None:
+            bp_local = jax.lax.dynamic_slice(
+                jnp.asarray(block_probe, dtype=jnp.int32),
+                (x * n_blocks_local,),
+                (n_blocks_local,),
+            )
+        else:
+            bp_local = None
+        m_lo, m_hi = hashing.plane_hash_mixed(
+            packed[0], k, L, n_reads[0], seed, pad_to=cap,
+            revcomp=config.revcomp,
+        )
+        sm_lo, sm_hi = jax.lax.sort(
+            (m_lo, m_hi), dimension=0, num_keys=1, is_stable=False
+        )
+        off = stream_probe.block_offsets(
+            sm_lo, n_buckets, chain_block, bucket_base=row_offset,
+            n_local=nb_local,
+        )
+        off = jnp.minimum(off, jnp.int32(sm_lo.shape[0] - cap))
+        c = stream_probe.stream_count(
+            key_lo,
+            key_hi,
+            counts[0],
+            sm_lo,
+            sm_hi,
+            off,
+            max_probe,
+            cap=cap,
+            interpret=config.interpret,
+            bucket_base=row_offset,
+            chain_block=chain_block,
+            block_probe=bp_local,
+            n_buckets_global=n_buckets,
+            tail_padded=True,
+        )
+        n_valid = (n_reads[0] * W).astype(jnp.uint32)
+        return c[None], n_valid[None]
+
+    step = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(
+            P(DATA_AXIS, INDEX_AXIS),
+            P(INDEX_AXIS, None),
+            P(INDEX_AXIS, None),
+            P(DATA_AXIS, None),
+            P(DATA_AXIS),
+        ),
+        out_specs=(P(DATA_AXIS, INDEX_AXIS), P(DATA_AXIS)),
+        check_vma=False,  # pallas_call outputs carry no vma annotation
+    )
+    return jax.jit(step, donate_argnums=(0,))
+
+
 def make_finalize(mesh: Mesh, max_node_id: int, max_frequency: int = 1000):
     """Compile node-count finalization: sum count shards over the data axis,
     gather per-entry kmer counts, frequency-filter, bincount by node. Entry
@@ -224,6 +312,7 @@ class ShardedKmerMapper:
             mesh, config, table.n_buckets, table.max_probe, table.seed, block_probe
         )
         self._ragged_step = None  # lazy twin for batches that break read_len
+        self._plane_step = None  # lazy word-plane twin for conforming batches
         self._stats: list = []
         self._total_kmers = 0
         self.n_invalid_bases = 0
@@ -256,6 +345,10 @@ class ShardedKmerMapper:
                     self._block_probe,
                 )
             step = self._ragged_step
+        elif self.config.read_len and self.config.probe == "stream":
+            # conforming batch: restride each row host-side (native C++ word
+            # shifts when available) and take the word-plane fast step
+            return self._map_batch_plane(packed_batch, n_bases, n_invalid)
         self.counts, n_valid = step(
             self.counts,
             self.key_lo,
@@ -263,6 +356,38 @@ class ShardedKmerMapper:
             jax.device_put(packed_batch, self._spec_row),
             jax.device_put(lengths_batch, self._spec_row),
             jax.device_put(n_bases, self._spec_scalar),
+        )
+        self._stats.append(n_valid)
+        self.n_invalid_bases += n_invalid
+
+    def _map_batch_plane(self, packed_batch, n_bases, n_invalid) -> None:
+        from ..io.readers import restride_packed, strided_rows
+
+        L = self.config.read_len
+        rows = strided_rows(self.config.buf, L)
+        n_bases = np.asarray(n_bases)
+        n_reads = (n_bases // L).astype(np.int32)
+        strided = np.stack(
+            [
+                restride_packed(row, nr, L, rows)
+                for row, nr in zip(np.asarray(packed_batch), n_reads)
+            ]
+        )
+        if self._plane_step is None:
+            self._plane_step = make_sharded_plane_step(
+                self.mesh,
+                self.config,
+                self.index.table.n_buckets,
+                self.index.table.max_probe,
+                self.index.table.seed,
+                self._block_probe,
+            )
+        self.counts, n_valid = self._plane_step(
+            self.counts,
+            self.key_lo,
+            self.key_hi,
+            jax.device_put(strided, self._spec_row),
+            jax.device_put(n_reads, self._spec_scalar),
         )
         self._stats.append(n_valid)
         self.n_invalid_bases += n_invalid

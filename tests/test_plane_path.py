@@ -92,6 +92,22 @@ def test_strided_pack_matches_restride(L, k):
         np.testing.assert_array_equal(packed_d, restrided)
 
 
+@pytest.mark.parametrize("L", [151, 48, 37, 16])
+def test_restride_native_matches_numpy(L, monkeypatch):
+    from kmer_mapper_tpu.io import native as native_mod
+
+    if not native_mod.available():
+        pytest.skip("native loader unavailable")
+    reads = _uniform_reads(50, L, with_n=True)
+    buf = 1 << 13
+    (packed_c, lengths, nb, nr, _), = _pack(reads, buf, 256, 15)
+    rows = readers.strided_rows(buf, L)
+    nat = native_mod.restride_native(packed_c, nr, L, rows)
+    monkeypatch.setattr(native_mod, "available", lambda: False)
+    ref = readers.restride_packed(packed_c, nr, L, rows)
+    np.testing.assert_array_equal(nat, ref)
+
+
 @pytest.mark.parametrize("L,k", [(51, 31), (48, 31), (37, 13)])
 def test_plane_hash_matches_sorted_queries(L, k):
     reads = _uniform_reads(30, L)

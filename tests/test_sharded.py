@@ -181,3 +181,94 @@ def test_sharded_save_load_state_round_trip(tmp_path):
     other = ShardedKmerMapper(index, config, make_mesh(n_devices=8, index_parallel=2))
     with pytest.raises(ValueError, match="does not match"):
         other.load_state(ckpt)
+
+
+def test_sharded_stream_fixed_read_len_plane_path():
+    """Fixed-length reads on the sharded stream path take the word-plane
+    step (host restride + plane hash inside shard_map) — bit-exact vs the
+    oracle, and a batch with an off-length read falls back to the ragged
+    twin with identical totals."""
+    rng = np.random.default_rng(91)
+    k, L = 9, 37
+    reads = ["".join(rng.choice(list("ACGT"), L)) for _ in range(120)]
+    codes = [oracle.encode_string(r) for r in reads]
+    read_kmers = oracle.kmer_hashes_ragged(
+        np.concatenate(codes), np.array([len(c) for c in codes]), k
+    )
+    entry_kmers = np.concatenate(
+        [rng.choice(read_kmers, 200),
+         rng.integers(0, 1 << (2 * k), 100, dtype=np.uint64)]
+    )
+    nodes = rng.integers(0, 150, len(entry_kmers)).astype(np.int32)
+    arrays = oracle.build_kmer_index(entry_kmers, nodes, 1999)
+    expect = oracle.map_kmers_to_index(arrays, read_kmers)
+    unique = np.unique(arrays.kmers)
+    table = layout.build_table(unique, n_buckets=2 * layout.CHAIN_BLOCK)
+    slots = layout.query_table(table, arrays.kmers)
+    tpu = ki.TpuKmerIndex(
+        table=table,
+        entry_slot=slots.astype(np.int32),
+        entry_node=arrays.nodes,
+        entry_frequency=arrays.frequencies,
+        max_node_id=arrays.max_node_id(),
+        n_unique=len(unique),
+    )
+    mesh = make_mesh(n_devices=4, index_parallel=2)
+    config = MapperConfig(
+        k=k, buf=1024, max_reads=64, probe="stream", interpret=True,
+        read_len=L, stream_cap=128,
+    )
+    mapper = ShardedKmerMapper(tpu, config, mesh)
+    _run(mapper, reads, config)
+    assert mapper._plane_step is not None  # the plane twin actually ran
+    assert mapper._ragged_step is None
+    np.testing.assert_array_equal(mapper.node_counts(), expect)
+    assert mapper.n_kmers_mapped == len(reads) * (L - k + 1)
+
+    # an off-length read anywhere in the batch -> ragged fallback, same math
+    reads_mixed = reads[:40] + ["ACGT" * 12] + reads[40:]
+    codes_m = [oracle.encode_string(r) for r in reads_mixed]
+    kmers_m = oracle.kmer_hashes_ragged(
+        np.concatenate(codes_m), np.array([len(c) for c in codes_m]), k
+    )
+    expect_m = oracle.map_kmers_to_index(arrays, kmers_m)
+    mapper_m = ShardedKmerMapper(tpu, config, mesh)
+    _run(mapper_m, reads_mixed, config)
+    assert mapper_m._ragged_step is not None
+    np.testing.assert_array_equal(mapper_m.node_counts(), expect_m)
+
+
+def test_sharded_plane_revcomp():
+    rng = np.random.default_rng(92)
+    k, L = 7, 33
+    reads = ["".join(rng.choice(list("ACGT"), L)) for _ in range(60)]
+    codes = [oracle.encode_string(r) for r in reads]
+    fwd = oracle.kmer_hashes_ragged(
+        np.concatenate(codes), np.array([len(c) for c in codes]), k
+    )
+    entry_kmers = rng.choice(np.concatenate([fwd, oracle.revcomp_hash(fwd, k)]), 150)
+    nodes = rng.integers(0, 60, len(entry_kmers)).astype(np.int32)
+    arrays = oracle.build_kmer_index(entry_kmers, nodes, 499)
+    unique = np.unique(arrays.kmers)
+    table = layout.build_table(unique, n_buckets=2 * layout.CHAIN_BLOCK)
+    slots = layout.query_table(table, arrays.kmers)
+    tpu = ki.TpuKmerIndex(
+        table=table,
+        entry_slot=slots.astype(np.int32),
+        entry_node=arrays.nodes,
+        entry_frequency=arrays.frequencies,
+        max_node_id=arrays.max_node_id(),
+        n_unique=len(unique),
+    )
+    mesh = make_mesh(n_devices=4, index_parallel=2)
+    config = MapperConfig(
+        k=k, buf=1024, max_reads=64, probe="stream", interpret=True,
+        read_len=L, revcomp=True, stream_cap=128,
+    )
+    mapper = ShardedKmerMapper(tpu, config, mesh)
+    _run(mapper, reads, config)
+    assert mapper._plane_step is not None
+    queries = np.concatenate([fwd, oracle.revcomp_hash(fwd, k)])
+    np.testing.assert_array_equal(
+        mapper.node_counts(), oracle.map_kmers_to_index(arrays, queries)
+    )
