@@ -40,10 +40,11 @@ import os
 
 K = 31
 READ_LEN = 151
-BUF = int(os.environ.get("BENCH_BUF_MI", "16")) << 20  # 16 Mi bases per
-# chunk: the CSE-free sweep optimum on v5e (16/32/64 Mi measure 286/260/253
-# Mk/s with the mixed-key 2-operand sort — the sort's n log n factor favors
-# smaller chunks). BENCH_BUF_MI overrides for sweeps.
+BUF = int(os.environ.get("BENCH_BUF_MI", "32")) << 20  # 32 Mi bases per
+# chunk: the CSE-free sweep optimum on v5e with the word-plane hash
+# (8/16/32/40/48/64 Mi = 246/326/340/253/280/281 Mk/s — past ~27M sorted
+# elements the XLA sort's per-element cost jumps). Pre-plane, 16 Mi won.
+# BENCH_BUF_MI overrides for sweeps.
 N_UNIQUE = int(os.environ.get("BENCH_N_UNIQUE", "4000000"))
 STEPS = 8  # chunk steps chained inside one jitted window
 N_WINDOWS = 4

@@ -201,7 +201,7 @@ def make_mapper_and_chunks(
     step with identical results."""
     floor = _buf_floor(index, k)
     buf = _round_up(min(max(chunk_size, floor), 64 << 20), 1 << 13)
-    if floor > 16 << 20:
+    if floor > 32 << 20:
         logger.info(
             "large index (%d buckets): schedule is HBM-paged, raising the "
             "device buffer to %d Mi bases to amortize the per-block kernel "
@@ -383,11 +383,13 @@ def _detect_read_len(first_chunk, k: int) -> int:
 def _buf_floor(index: TpuKmerIndex | None = None, k: int = 31, n_shards: int = 1) -> int:
     import jax
 
-    # CSE-free r3 sweep on v5e: 16 Mi beats 32/64 Mi (286/260/253 Mk/s) with
-    # the mixed-key 2-operand sort; early (CSE-distorted) sweeps said otherwise
+    # CSE-free sweeps on v5e: with the word-plane hash 32 Mi is the sharp
+    # optimum (8/16/32/40/48/64 Mi = 246/326/340/253/280/281 Mk/s — the sort
+    # cost per element is jagged past ~27M elements); pre-plane, 16 Mi won
+    # (286/260/253 at 16/32/64)
     if jax.default_backend() != "tpu":
         return 1 << 16
-    floor = 16 << 20
+    floor = 32 << 20
     if index is None:
         return floor
     # LARGE tables (schedule paged through HBM instead of SMEM-resident):

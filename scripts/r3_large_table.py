@@ -87,8 +87,14 @@ def main():
         f"-> schedule mode: {'meta' if use_meta else 'PAGED'}"
     )
 
+    # the production stream path now rides the word-plane strided layout
+    # (KMT_PLANE=0 reverts to the interleave+slice step for A/B runs)
+    use_plane = config.probe == "stream" and os.environ.get("KMT_PLANE", "1") == "1"
     packed = [
-        next(iter(pack_for_device(iter([c]), config.buf, config.max_reads, K)))
+        next(iter(pack_for_device(
+            iter([c]), config.buf, config.max_reads, K,
+            read_len=READ_LEN if use_plane else 0,
+        )))
         for c in chunks
     ]
     if aug > 1:
@@ -97,22 +103,42 @@ def main():
         key_lo = jax.device_put(table.key_lo)
         key_hi = jax.device_put(table.key_hi)
     counts = jax.device_put(jnp.zeros(table.n_slots, dtype=jnp.uint32))
-    resident = [
-        (jax.device_put(p), jax.device_put(ln), jnp.int32(nb))
-        for p, ln, nb, _, _ in packed
-    ]
-    step = functools.partial(
-        chunk_step, config=config, max_probe=table.max_probe, seed=table.seed,
-        block_probe=bp,
-    )
+    if use_plane:
+        from kmer_mapper_tpu.models.mapper import plane_chunk_step
 
-    def window(key_lo, key_hi, counts, resident):
-        total = jnp.uint32(0)
-        for i in range(STEPS):
-            p, ln, nb = resident[i]
-            counts, n_valid = step(key_lo, key_hi, counts, p, ln, nb)
-            total = total + n_valid
-        return counts, total
+        resident = [
+            (jax.device_put(p), jnp.int32(nb // READ_LEN))
+            for p, ln, nb, _, _, _ in packed
+        ]
+        step0 = functools.partial(
+            plane_chunk_step, config=config, max_probe=table.max_probe,
+            seed=table.seed, block_probe=bp,
+        )
+
+        def window(key_lo, key_hi, counts, resident):
+            total = jnp.uint32(0)
+            for i in range(STEPS):
+                p, nr = resident[i]
+                counts, n_valid = step0(key_lo, key_hi, counts, p, nr)
+                total = total + n_valid
+            return counts, total
+    else:
+        resident = [
+            (jax.device_put(p), jax.device_put(ln), jnp.int32(nb))
+            for p, ln, nb, _, _ in packed
+        ]
+        step = functools.partial(
+            chunk_step, config=config, max_probe=table.max_probe, seed=table.seed,
+            block_probe=bp,
+        )
+
+        def window(key_lo, key_hi, counts, resident):
+            total = jnp.uint32(0)
+            for i in range(STEPS):
+                p, ln, nb = resident[i]
+                counts, n_valid = step(key_lo, key_hi, counts, p, ln, nb)
+                total = total + n_valid
+            return counts, total
 
     window_fn = jax.jit(window, donate_argnums=(2,))
     t = time.perf_counter()
