@@ -46,6 +46,8 @@ BUF = int(os.environ.get("BENCH_BUF_MI", "32")) << 20  # 32 Mi bases per
 # elements the XLA sort's per-element cost jumps). Pre-plane, 16 Mi won.
 # BENCH_BUF_MI overrides for sweeps.
 N_UNIQUE = int(os.environ.get("BENCH_N_UNIQUE", "4000000"))
+STREAMS = int(os.environ.get("BENCH_STREAMS", "1"))  # sorted streams per
+# kernel schedule on the plane path (see MapperConfig.streams)
 STEPS = 8  # chunk steps chained inside one jitted window
 N_WINDOWS = 4
 BASELINE_SAMPLE_BASES = 2 << 20
@@ -103,8 +105,11 @@ def main():
     # tile is auto-sized to the index's block density like KmerMapper does
     config = default_config(
         k=K, buf=BUF, max_reads=BUF // 64, read_len=READ_LEN,
-        stream_cap=auto_stream_cap(BUF, table.n_buckets, READ_LEN),
+        stream_cap=auto_stream_cap(BUF // STREAMS, table.n_buckets, READ_LEN),
     )
+    if STREAMS > 1 and config.probe == "stream":
+        import dataclasses
+        config = dataclasses.replace(config, streams=STREAMS)
     # the stream path rides the strided word-plane packing + plane step (what
     # the pipeline does for detected fixed-length files); the gather path
     # (CPU fallback) keeps the continuous layout

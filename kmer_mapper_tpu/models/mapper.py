@@ -59,6 +59,11 @@ class MapperConfig:
     # scheduled kernel round covers aug chain positions — most blocks then
     # need a single pass over their query window instead of one per chain
     # round (see stream_probe.py / layout.aug_keys). Stream probe only.
+    streams: int = 1  # sorted query streams per kernel schedule (plane path
+    # only): the chunk's window combos split into S independently sorted
+    # segments served by one tile schedule — XLA's flat sort is fastest below
+    # ~2^24 elements while the kernel's tile count per chunk is ~constant, so
+    # big chunks keep the small-sort rate (see stream_probe_count_mixed)
     read_len: int = 0  # all reads have exactly this length (0 = ragged). With
     # fixed-length reads (the Illumina case) the k-1 invalid windows per read
     # form a static pattern, so the ~20% dead window slots are sliced away
@@ -83,6 +88,10 @@ class MapperConfig:
         if self.read_len:
             assert self.k <= self.read_len <= self.buf
             assert self.super_batch == 1, "read_len requires super_batch == 1"
+        assert 1 <= self.streams <= 8
+        assert self.streams == 1 or (self.probe == "stream" and self.read_len), (
+            "streams > 1 requires the fixed-read-length stream (plane) path"
+        )
 
     @property
     def packed_words(self) -> int:
@@ -174,14 +183,21 @@ def plane_chunk_step(
     ``pack_for_device(..., read_len=L)``. Returns (counts', n_valid)."""
     assert config.probe == "stream" and config.read_len
     cap = config.stream_cap or stream_probe.DEFAULT_CAP
-    m_lo, m_hi = hashing.plane_hash_mixed(
-        packed, config.k, config.read_len, n_reads, seed, pad_to=cap,
-        revcomp=config.revcomp,
-    )
+    seg_bounds = None
+    if config.streams > 1:
+        m_lo, m_hi, seg_bounds = hashing.plane_hash_mixed(
+            packed, config.k, config.read_len, n_reads, seed, pad_to=cap,
+            revcomp=config.revcomp, segments=config.streams,
+        )
+    else:
+        m_lo, m_hi = hashing.plane_hash_mixed(
+            packed, config.k, config.read_len, n_reads, seed, pad_to=cap,
+            revcomp=config.revcomp,
+        )
     counts = stream_probe.stream_probe_count_mixed(
         key_lo, key_hi, counts, m_lo, m_hi, max_probe,
         cap=cap, interpret=config.interpret, block_probe=block_probe,
-        group=config.group,
+        group=config.group, seg_bounds=seg_bounds,
     )
     W = config.read_len - config.k + 1
     n_valid = (n_reads * W).astype(jnp.uint32)
@@ -289,10 +305,13 @@ class KmerMapper:
     def __init__(self, index: TpuKmerIndex, config: MapperConfig, device=None):
         self.index = index
         if config.probe == "stream" and not config.stream_cap:
+            # with multi-stream tiles the tile width serves ONE stream's
+            # per-block share, so the cap fits buf/streams worth of queries
             config = dataclasses.replace(
                 config,
                 stream_cap=auto_stream_cap(
-                    config.buf, index.table.n_buckets, config.read_len, config.k
+                    config.buf // config.streams, index.table.n_buckets,
+                    config.read_len, config.k,
                 ),
             )
         self.config = config

@@ -87,7 +87,8 @@ def plane_hash_mixed(
     seed: int,
     pad_to: int,
     revcomp: bool = False,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+    segments: int = 1,
+):
     """Sort-ready mixed hashes from stride-padded fixed-length-read packing.
 
     The fast-path replacement for ``rolling_kmer_hash_packed`` + the
@@ -108,7 +109,11 @@ def plane_hash_mixed(
     table sweep as the interleaved path).
 
     Returns UNSORTED pre-mixed, pre-padded (m_lo, m_hi) ready for
-    ``stream_probe.stream_probe_count_mixed``.
+    ``stream_probe.stream_probe_count_mixed``. With ``segments > 1`` the
+    window combos are split into S groups, each independently tail-padded,
+    and the return value gains static ``seg_bounds = ((start, length), ...)``
+    — the multi-stream-tile layout (see ``stream_probe_count_mixed``: XLA's
+    sort is fastest below ~2^24 elements, so big chunks sort as S segments).
     """
     from .stream_probe import INVALID_WORD
     from .u32hash import feistel_mix
@@ -151,14 +156,30 @@ def plane_hash_mixed(
             emit(lo, hi)
             if revcomp:
                 emit(*revcomp_lo_hi(lo, hi, k))
-    assert len(mlos) == (read_len - k + 1) * (2 if revcomp else 1)
-    m_lo = jnp.concatenate(mlos)
-    m_hi = jnp.concatenate(mhis)
-    n = m_lo.shape[0]
-    pad = (-n) % pad_to + 2 * pad_to
-    m_lo = jnp.concatenate([m_lo, jnp.full(pad, inv, jnp.uint32)])
-    m_hi = jnp.concatenate([m_hi, jnp.full(pad, inv, jnp.uint32)])
-    return m_lo, m_hi
+    n_combos = (read_len - k + 1) * (2 if revcomp else 1)
+    assert len(mlos) == n_combos
+    assert 1 <= segments <= min(8, n_combos)
+
+    def tail(n):
+        pad = (-n) % pad_to + 2 * pad_to
+        return jnp.full(pad, inv, jnp.uint32)
+
+    if segments == 1:
+        m_lo = jnp.concatenate(mlos + [tail(n_combos * R)])
+        m_hi = jnp.concatenate(mhis + [tail(n_combos * R)])
+        return m_lo, m_hi
+    lo_parts, hi_parts, bounds = [], [], []
+    pos = 0
+    for s in range(segments):
+        a = n_combos * s // segments
+        b = n_combos * (s + 1) // segments
+        t = tail((b - a) * R)
+        lo_parts += mlos[a:b] + [t]
+        hi_parts += mhis[a:b] + [t]
+        length = (b - a) * R + t.shape[0]
+        bounds.append((pos, length))
+        pos += length
+    return jnp.concatenate(lo_parts), jnp.concatenate(hi_parts), tuple(bounds)
 
 
 def select_windows_mxu(x: jnp.ndarray, R: int, L: int, W: int) -> jnp.ndarray:

@@ -115,6 +115,7 @@ def plan_schedule(
     chain_block: int | None = None,
     block_probe=None,  # numpy int array for the exact bound; None/traced for
     # the conservative one
+    streams: int = 1,  # independently sorted query streams sharing the tiles
 ) -> SchedulePlan:
     """The static half of stream_count's schedule math, shared with scripts,
     the pipeline auto-tuner and tests so the paged/meta prediction can never
@@ -176,9 +177,15 @@ def plan_schedule(
             f"over the stream kernel's schedule limit {1 << PROBE_BITS}; "
             "rebuild the table or use probe='gather'"
         )
+    # multi-stream tiles: one tile serves a (group, round) with one cap-wide
+    # sub-window PER STREAM, so the tile count is governed by the group's
+    # LARGEST stream share: n_tiles_g = max_s ceil((end_gs - base_gs)/cap)
+    # <= (max_s w_gs)/cap + 2 <= (Σ_s w_gs)/cap + 2 — summing over groups
+    # keeps the single-stream bound shape (total query length at width cap),
+    # while the schedule stores 1 meta + ``streams`` offset words per entry
     t_pad = max_rounds * (n_padded // cap + 1) + 2 * sum_rounds
-    base_len = 2 * n_groups + 2 + n_groups // coarse + 1
-    use_meta = base_len + 2 * t_pad <= SMEM_I32_BUDGET
+    base_len = 1 + streams * (n_groups + 1) + n_groups + n_groups // coarse + 1
+    use_meta = base_len + (1 + streams) * t_pad <= SMEM_I32_BUDGET
     if base_len > SMEM_I32_BUDGET:
         raise ValueError(
             f"table too large for a single-chip stream kernel ({n_blocks} "
@@ -377,6 +384,7 @@ def _kernel(
     shift: int,  # bucket id = m_lo >> shift (global bucket count)
     aug: int,  # chained buckets compared per scheduled round (layout.aug_keys)
     n_pages: int = 0,
+    streams: int = 1,  # independently sorted query streams sharing the tiles
 ):
     """One grid step = ``coarse`` chain blocks, iterated as ONE flat fori_loop
     over scheduled (block, probe round) query tiles. The table byte planes for
@@ -409,25 +417,35 @@ def _kernel(
     rows = lax.broadcasted_iota(jnp.int32, (gpb, cap), 0)
     lane_pos = lax.broadcasted_iota(jnp.int32, (1, cap), 1)
     n_steps = n_groups // coarse
-    t_lo = off_ref[2 * n_groups + 2 + ci]
-    t_hi = off_ref[2 * n_groups + 2 + ci + 1]
-    meta0 = 2 * n_groups + 2 + n_steps + 1
+    # scalar layout: [shard_base | goff x streams | rounds | tile_bounds |
+    # (SMEM mode) t_meta, t_off x streams]; stream s's group bounds live at
+    # off_ref[1 + s*(n_groups+1) + grp]. streams == 1 is bit-identical to the
+    # single-stream layout. A multi-stream tile serves one (group, round)
+    # with one cap-wide sub-window per independently sorted stream: S fused
+    # DMAs + S sub-bodies per tile — per-query work identical to the
+    # single-stream kernel, while each stream's SORT ran at its small-array
+    # sweet spot (see stream_probe_count_mixed).
+    goff_len = n_groups + 1
+    tb0 = 1 + streams * goff_len + n_groups
+    t_lo = off_ref[tb0 + ci]
+    t_hi = off_ref[tb0 + ci + 1]
+    meta0 = tb0 + n_steps + 1
     align = min(ALIGN, cap)
 
-    def dma_at(offset, slot):
-        # one fused (2, cap) copy per tile: both mixed-word rows share the
-        # offset, so two copies + two semaphore waits become one
+    def dma_at(offset, slot, s):
+        # one fused (2, cap) copy per (tile, stream): both mixed-word rows
+        # share the offset, so two copies + two semaphore waits become one
         o = pl.multiple_of(offset, align)
         return pltpu.make_async_copy(
-            q_hbm.at[:, pl.ds(o, cap)], q_s.at[slot], sems.at[slot]
+            q_hbm.at[:, pl.ds(o, cap)], q_s.at[slot, s], sems.at[slot, s]
         )
 
     if use_meta:
         def sched_meta(t):
             return off_ref[meta0 + t]
 
-        def sched_off(t):
-            return off_ref[meta0 + t_pad + t]
+        def sched_off(t, s):
+            return off_ref[meta0 + (1 + s) * t_pad + t]
     else:
         def vmem_copy(k):
             kk = jnp.minimum(k, jnp.int32(n_pages - 1))
@@ -461,13 +479,17 @@ def _kernel(
         def sched_meta(t):
             return pg_smem[(t // PAGE) % 2, 0, t % PAGE]
 
-        def sched_off(t):
-            return pg_smem[(t // PAGE) % 2, 0, PAGE + (t % PAGE)]
+        def sched_off(t, s):
+            return pg_smem[(t // PAGE) % 2, 0, (1 + s) * PAGE + (t % PAGE)]
+
+    def start_tile_dmas(t, slot):
+        for s in range(streams):
+            dma_at(sched_off(t, s), slot, s).start()
 
     for w in range(n_slots - 1):
         @pl.when(t_lo + w < t_hi)
         def _(w=w):
-            dma_at(sched_off(t_lo + w), w % n_slots).start()
+            start_tile_dmas(t_lo + w, w % n_slots)
 
     def body(ti, carry):
         t = t_lo + ti
@@ -484,75 +506,79 @@ def _kernel(
 
         @pl.when(ti + n_slots - 1 < t_hi - t_lo)
         def _():
-            dma_at(sched_off(t + n_slots - 1), (ti + n_slots - 1) % n_slots).start()
+            start_tile_dmas(t + n_slots - 1, (ti + n_slots - 1) % n_slots)
 
         m = sched_meta(t)
         grp = m >> PROBE_BITS
         p = m & ((1 << PROBE_BITS) - 1)
-        base_j = sched_off(t)
-        dma_at(base_j, slot).wait()
-        start = off_ref[grp + 1]
-        end = off_ref[grp + 2]
         base_bucket = off_ref[0] + grp * gpb  # off_ref[0] = shard base (buckets)
-        pos = base_j + lane_pos  # (1, cap)
-        qm_lo = q_s[slot, 0:1, :]
-        qm_hi = q_s[slot, 1:2, :]
-        # bucket id = high bits of the mixed low word (no bucket operand);
-        # a single-bucket table (shift 32) has bucket id 0 for every query
-        if shift >= 32:
-            qb = jnp.zeros(qm_lo.shape, jnp.int32)
-        else:
-            qb = (qm_lo >> jnp.uint32(shift)).astype(jnp.int32)
-        live = (pos >= start) & (pos < end)
-        local_b = qb - base_bucket  # (1, cap), in [0, gpb) when live
-        live = live & (local_b >= 0) & (local_b < gpb)
-        # invalid queries (all-ones word pair) ride the last bucket's range;
-        # they may only "match" EMPTY slots — mask them out of the hit test
-        live = live & ~((qm_lo == INVALID_WORD) & (qm_hi == INVALID_WORD))
-        # scheduled round p folded into the one-hot: comparing against row
-        # (local_b + p*aug), wrapped WITHIN the query's own chain block,
-        # gathers the chained bucket's keys AND lands the count contribution
-        # on that same chained row — identical to rolling the table tile,
-        # with no roll. With chain augmentation (aug > 1) the table row also
-        # carries the NEXT aug-1 buckets' keys (layout.aug_keys), so one
-        # scheduled round covers aug chain positions: extra 62-bit-exact
-        # compares are always sound (a key is stored once — they can only
-        # find the true slot), so most blocks need a single round. A group is
-        # ``gpb // bpb`` adjacent chain blocks served by ONE widened one-hot
-        # (the gather/compare work is shared, unlike the rejected
-        # sub-grouping that duplicated the matmuls).
-        local_bp = (local_b & ~jnp.int32(bpb - 1)) | (
-            (local_b + p * jnp.int32(aug)) & jnp.int32(bpb - 1)
-        )
-        one_hot = ((rows == local_bp) & live).astype(jnp.bfloat16)
         row0 = pl.multiple_of((grp - ci * coarse) * gpb, gpb)
         tb = tb_s[pl.ds(row0, gpb), :]
-        # per-query candidate key bytes: (8*aug*K, cap) = tbᵀ ⨯ one_hot
-        gathered = lax.dot_general(
-            tb,
-            one_hot,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        qp0, qp1, qp2 = _packed_query_planes(qm_lo, qm_hi)
-        total = None
-        for h in range(aug):
-            gp0, gp1, gp2 = _packed_gathered(gathered, h, aug)
-            hits = live & (gp0 == qp0) & (gp1 == qp1) & (gp2 == qp2)
-            c = lax.dot_general(
+        grand = None
+        for s in range(streams):  # one cap-wide sub-window per sorted stream
+            base_j = sched_off(t, s)
+            dma_at(base_j, slot, s).wait()
+            start = off_ref[1 + s * goff_len + grp]
+            end = off_ref[1 + s * goff_len + grp + 1]
+            pos = base_j + lane_pos  # (1, cap)
+            qm_lo = q_s[slot, s, 0:1, :]
+            qm_hi = q_s[slot, s, 1:2, :]
+            # bucket id = high bits of the mixed low word (no bucket operand);
+            # a single-bucket table (shift 32) has bucket id 0 for every query
+            if shift >= 32:
+                qb = jnp.zeros(qm_lo.shape, jnp.int32)
+            else:
+                qb = (qm_lo >> jnp.uint32(shift)).astype(jnp.int32)
+            live = (pos >= start) & (pos < end)
+            local_b = qb - base_bucket  # (1, cap), in [0, gpb) when live
+            live = live & (local_b >= 0) & (local_b < gpb)
+            # invalid queries (all-ones word pair) ride the last bucket's
+            # range; they may only "match" EMPTY slots — mask them out
+            live = live & ~((qm_lo == INVALID_WORD) & (qm_hi == INVALID_WORD))
+            # scheduled round p folded into the one-hot: comparing against row
+            # (local_b + p*aug), wrapped WITHIN the query's own chain block,
+            # gathers the chained bucket's keys AND lands the count
+            # contribution on that same chained row — identical to rolling the
+            # table tile, with no roll. With chain augmentation (aug > 1) the
+            # table row also carries the NEXT aug-1 buckets' keys
+            # (layout.aug_keys), so one scheduled round covers aug chain
+            # positions: extra 62-bit-exact compares are always sound (a key
+            # is stored once — they can only find the true slot), so most
+            # blocks need a single round. A group is ``gpb // bpb`` adjacent
+            # chain blocks served by ONE widened one-hot (the gather/compare
+            # work is shared, unlike the rejected sub-grouping that
+            # duplicated the matmuls).
+            local_bp = (local_b & ~jnp.int32(bpb - 1)) | (
+                (local_b + p * jnp.int32(aug)) & jnp.int32(bpb - 1)
+            )
+            one_hot = ((rows == local_bp) & live).astype(jnp.bfloat16)
+            # per-query candidate key bytes: (8*aug*K, cap) = tbᵀ ⨯ one_hot
+            gathered = lax.dot_general(
+                tb,
                 one_hot,
-                hits.astype(jnp.bfloat16),
-                dimension_numbers=(((1,), (1,)), ((), ())),
+                dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (gpb, K): contributions computed at the one-hot row, but a
-            # half-h hit belongs to bucket (row + h) wrapped in the chain
-            # block — shift rows down by h (gpb == bpb when aug > 1)
-            if h:
-                c = jnp.concatenate([c[gpb - h :, :], c[: gpb - h, :]], axis=0)
-            total = c if total is None else total + c
+            )
+            qp0, qp1, qp2 = _packed_query_planes(qm_lo, qm_hi)
+            total = None
+            for h in range(aug):
+                gp0, gp1, gp2 = _packed_gathered(gathered, h, aug)
+                hits = live & (gp0 == qp0) & (gp1 == qp1) & (gp2 == qp2)
+                c = lax.dot_general(
+                    one_hot,
+                    hits.astype(jnp.bfloat16),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (gpb, K): contributions computed at the one-hot row, but
+                # a half-h hit belongs to bucket (row + h) wrapped in the
+                # chain block — shift rows down by h (gpb == bpb when aug > 1)
+                if h:
+                    c = jnp.concatenate([c[gpb - h :, :], c[: gpb - h, :]], axis=0)
+                total = c if total is None else total + c
+            grand = total if grand is None else grand + total
         counts_out_ref[pl.ds(row0, gpb), :] = counts_out_ref[
             pl.ds(row0, gpb), :
-        ] + total.astype(jnp.int32).astype(jnp.uint32)
+        ] + grand.astype(jnp.int32).astype(jnp.uint32)
         return carry
 
     if use_meta:
@@ -575,9 +601,15 @@ def stream_count(
     # is the plain table)
     key_hi: jnp.ndarray,
     counts: jnp.ndarray,  # uint32[n_slots] flat
-    sorted_m_lo: jnp.ndarray,  # uint32[N] mixed, sorted (sort_queries)
+    sorted_m_lo: jnp.ndarray,  # uint32[N] mixed, sorted (sort_queries); with
+    # multiple streams: the concatenation of S independently sorted,
+    # individually tail-padded segments
     sorted_m_hi: jnp.ndarray,
-    off: jnp.ndarray,  # int32[n_blocks + 1]
+    off: jnp.ndarray,  # int32[n_blocks + 1], or int32[S, n_blocks + 1] with
+    # per-stream ABSOLUTE positions into the concatenated array (multi-stream
+    # tiles: the sort runs at its small-array sweet spot per segment while
+    # the kernel keeps one tile schedule — each tile serves one (block,
+    # round, stream) window, so per-tile work is unchanged)
     max_probe: int,
     cap: int = DEFAULT_CAP,
     interpret: bool = False,
@@ -614,10 +646,12 @@ def stream_count(
     # the DMA-offset alignment promised to Mosaic (pl.multiple_of) requires
     # tile strides to preserve the window base's alignment
     assert cap % min(ALIGN, cap) == 0, f"cap must be a multiple of {ALIGN} (or < {ALIGN})"
+    streams = 1 if off.ndim == 1 else off.shape[0]
     n = sorted_m_lo.shape[0]
     if tail_padded:
         pad = 0  # sort_queries already appended the invalid tail slack
     else:
+        assert streams == 1, "multi-stream queries must arrive tail-padded"
         # the last window may extend past n by up to cap; padding is the
         # invalid all-ones pattern, masked in-kernel like real invalid queries
         pad = (-n) % cap + cap
@@ -632,7 +666,7 @@ def stream_count(
     # PAGED through VMEM into SMEM (see _kernel and plan_schedule)
     plan = plan_schedule(
         n_local, n + pad, cap=cap, max_probe=max_probe, aug=aug, group=group,
-        coarse=coarse, chain_block=bpb, block_probe=block_probe,
+        coarse=coarse, chain_block=bpb, block_probe=block_probe, streams=streams,
     )
     n_groups, gpb, group, coarse = plan.n_groups, plan.gpb, plan.group, plan.coarse
     max_rounds, t_pad, use_meta = plan.max_rounds, plan.t_pad, plan.use_meta
@@ -657,15 +691,16 @@ def stream_count(
         pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
     ]
     scratch_shapes = [
-        pltpu.VMEM((n_slots, 2, cap), jnp.uint32),
+        pltpu.VMEM((n_slots, streams, 2, cap), jnp.uint32),
         pltpu.VMEM((coarse * gpb, 8 * aug * BUCKET_KEYS), jnp.bfloat16),
-        pltpu.SemaphoreType.DMA((n_slots,)),
+        pltpu.SemaphoreType.DMA((n_slots, streams)),
     ]
     if not use_meta:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM))
         scratch_shapes += [
-            pltpu.VMEM((2, 1, 2 * PAGE), jnp.int32),  # page VMEM hop buffers
-            pltpu.SMEM((2, 1, 2 * PAGE), jnp.int32),  # resident schedule pages
+            # page buffers: [meta(PAGE) | off_s(PAGE) x streams] per row
+            pltpu.VMEM((2, 1, (1 + streams) * PAGE), jnp.int32),
+            pltpu.SMEM((2, 1, (1 + streams) * PAGE), jnp.int32),
             pltpu.SMEM((1,), jnp.int32),  # pages loaded so far (cross-step)
             pltpu.SemaphoreType.DMA((2,)),  # HBM -> VMEM hop
             pltpu.SemaphoreType.DMA((2,)),  # VMEM -> SMEM hop
@@ -679,15 +714,21 @@ def stream_count(
     )
     # flat schedule: one entry per (block, probe round, cap-sized tile); a
     # block whose chain bound is L appears ceil(L/aug) times over its query
-    # window. Entries pack (group << PROBE_BITS) | p; DMA offsets precomputed.
+    # window. Entries pack (group << PROBE_BITS) | p, plus ONE precomputed
+    # DMA offset PER STREAM: a multi-stream tile serves the same (group,
+    # round) with one cap-wide sub-window per independently sorted stream,
+    # so the tile count follows the group's largest stream share.
     align = min(ALIGN, cap)
-    goff = off[::group] if group > 1 else off  # per-group query bounds
-    g_starts = goff[:-1]
-    g_ends = goff[1:]
+    n_padded_total = sorted_m_lo.shape[0] + pad
+    off2d = off.reshape(streams, -1)
+    goff2d = off2d[:, ::group] if group > 1 else off2d  # (S, n_groups + 1)
+    g_starts = goff2d[:, :-1]  # (S, n_groups)
+    g_ends = goff2d[:, 1:]
     bases = g_starts & ~jnp.int32(align - 1)
-    n_tiles_g = jnp.where(
+    n_tiles_s = jnp.where(
         g_ends > g_starts, (g_ends - bases + jnp.int32(cap - 1)) // cap, jnp.int32(0)
     )
+    n_tiles_g = n_tiles_s.max(axis=0)  # (n_groups,)
     rounds = jnp.clip(rounds, 1, max_rounds)
     n_sched_g = n_tiles_g * rounds
     csum = jnp.concatenate(
@@ -696,7 +737,7 @@ def stream_count(
     tile_bounds = csum[::coarse]  # (n_groups // coarse + 1,)
     parts = [
         jnp.asarray(bucket_base, dtype=jnp.int32).reshape(1),
-        goff,
+        goff2d.reshape(-1),  # stream-major blocks of (n_groups + 1)
         rounds,
         tile_bounds,
     ]
@@ -709,30 +750,40 @@ def stream_count(
     nt = jnp.maximum(n_tiles_g[safe], 1)
     p = jnp.minimum(r // nt, max_rounds - 1)
     t_meta = (safe << PROBE_BITS) | p
-    t_off = bases[safe] + (r - p * nt) * jnp.int32(cap)
+    # per-stream offsets; a stream whose window has fewer tiles than the
+    # group's max reads harmlessly past its window (the live mask rejects,
+    # and every segment carries >= 2*cap in-array tail slack), clamped so
+    # the final segment's overhang never leaves the array
+    t_offs = [
+        jnp.minimum(
+            bases[s][safe] + (r - p * nt) * jnp.int32(cap),
+            jnp.int32(n_padded_total - cap),
+        )
+        for s in range(streams)
+    ]
+    lanes = 1 + streams  # schedule words per entry: meta + one offset/stream
     if use_meta:
-        parts += [t_meta, t_off]
+        parts += [t_meta] + t_offs
         sched_args = ()
     else:
         extra = n_pages * PAGE - t_pad
+        z = jnp.zeros(extra, jnp.int32)
         sched = jnp.stack(
-            [
-                jnp.concatenate([t_meta, jnp.zeros(extra, jnp.int32)]),
-                jnp.concatenate([t_off, jnp.zeros(extra, jnp.int32)]),
-            ]
+            [jnp.concatenate([t_meta, z])]
+            + [jnp.concatenate([t_o, z]) for t_o in t_offs]
         )
-        # (n_pages, 1, 2*PAGE): page row = [meta(PAGE) | off(PAGE)] — one
-        # fused DMA per page covers both halves
+        # (n_pages, 1, lanes*PAGE): page row = [meta(PAGE) | off_s(PAGE)...] —
+        # one fused DMA per page covers all halves
         sched_args = (
-            sched.reshape(2, n_pages, PAGE)
+            sched.reshape(lanes, n_pages, PAGE)
             .transpose(1, 0, 2)
-            .reshape(n_pages, 1, 2 * PAGE),
+            .reshape(n_pages, 1, lanes * PAGE),
         )
     scalars = jnp.concatenate(parts)
     kernel = functools.partial(
         _kernel, cap=cap, bpb=bpb, gpb=gpb, n_groups=n_groups,
         coarse=coarse, t_pad=t_pad, n_slots=n_slots, use_meta=use_meta,
-        shift=shift, aug=aug, n_pages=n_pages,
+        shift=shift, aug=aug, n_pages=n_pages, streams=streams,
     )
     out = pl.pallas_call(
         kernel,
@@ -796,6 +847,10 @@ def stream_probe_count_mixed(
     block_probe=None,
     coarse: int = 0,
     group: int = 0,
+    seg_bounds: "tuple | None" = None,
+    bucket_base=0,
+    chain_block: int | None = None,
+    n_buckets_global: int | None = None,
 ):
     """Stream path for PRE-MIXED, pre-padded, unsorted queries.
 
@@ -803,14 +858,41 @@ def stream_probe_count_mixed(
     already the all-ones pattern and whose tail already carries >= 2*cap of
     invalid slack (``hashing.plane_hash_mixed`` emits exactly this) — the
     sort here is the same 2-operand ``lax.sort`` as ``sort_queries``, minus
-    the mix/mask/pad it no longer needs."""
-    n_buckets = key_lo.shape[0]
-    sm_lo, sm_hi = lax.sort((m_lo, m_hi), dimension=0, num_keys=1, is_stable=False)
-    bpb = min(CHAIN_BLOCK, n_buckets)
-    off = block_offsets(sm_lo, n_buckets, bpb)
-    # the last tile window can overhang its block bound by up to cap-1, so the
-    # top bound must leave one tile of the pre-padded tail unclaimed
-    off = jnp.minimum(off, jnp.int32(sm_lo.shape[0] - cap))
+    the mix/mask/pad it no longer needs.
+
+    ``seg_bounds`` = static ((start, length), ...) SEGMENTS of the query
+    array (``plane_hash_mixed(segments=S)`` emits them): each segment is
+    sorted INDEPENDENTLY and the kernel serves all S sorted streams from one
+    tile schedule. XLA's flat 2-operand sort has a per-element cliff past
+    ~2^24 elements (r3/r4 sweeps: 1.55 ns at 13.4M vs ~2.2+ at 27M+), while
+    the kernel's tile count per chunk is ~constant (>= 1 tile per chain block
+    per round) — multi-stream tiles keep the sort at its sweet-spot rate AND
+    the big-chunk tile amortization. Sharded tables pass ``bucket_base`` /
+    ``chain_block`` / ``n_buckets_global`` as for ``stream_count``."""
+    n_local = key_lo.shape[0]
+    n_total = n_buckets_global if n_buckets_global is not None else n_local
+    bpb = min(CHAIN_BLOCK, n_local) if chain_block is None else chain_block
+    if not seg_bounds:
+        seg_bounds = ((0, m_lo.shape[0]),)
+    sorted_lo, sorted_hi, offs = [], [], []
+    for start, length in seg_bounds:
+        s_lo, s_hi = lax.sort(
+            (lax.slice(m_lo, (start,), (start + length,)),
+             lax.slice(m_hi, (start,), (start + length,))),
+            dimension=0, num_keys=1, is_stable=False,
+        )
+        sorted_lo.append(s_lo)
+        sorted_hi.append(s_hi)
+        off_s = block_offsets(
+            s_lo, n_total, bpb, bucket_base=bucket_base, n_local=n_local
+        )
+        # the last tile window can overhang its block bound by up to cap-1,
+        # so the top bound must leave one tile of the segment's pre-padded
+        # tail unclaimed; positions are absolute into the concatenation
+        offs.append(jnp.minimum(off_s, jnp.int32(length - cap)) + jnp.int32(start))
+    sm_lo = sorted_lo[0] if len(sorted_lo) == 1 else jnp.concatenate(sorted_lo)
+    sm_hi = sorted_hi[0] if len(sorted_hi) == 1 else jnp.concatenate(sorted_hi)
+    off = offs[0] if len(offs) == 1 else jnp.stack(offs)
     return stream_count(
         key_lo,
         key_hi,
@@ -824,5 +906,8 @@ def stream_probe_count_mixed(
         block_probe=block_probe,
         coarse=coarse,
         group=group,
+        bucket_base=bucket_base,
+        chain_block=chain_block,
+        n_buckets_global=n_buckets_global,
         tail_padded=True,
     )

@@ -208,33 +208,31 @@ def make_sharded_plane_step(
             )
         else:
             bp_local = None
-        m_lo, m_hi = hashing.plane_hash_mixed(
-            packed[0], k, L, n_reads[0], seed, pad_to=cap,
-            revcomp=config.revcomp,
-        )
-        sm_lo, sm_hi = jax.lax.sort(
-            (m_lo, m_hi), dimension=0, num_keys=1, is_stable=False
-        )
-        off = stream_probe.block_offsets(
-            sm_lo, n_buckets, chain_block, bucket_base=row_offset,
-            n_local=nb_local,
-        )
-        off = jnp.minimum(off, jnp.int32(sm_lo.shape[0] - cap))
-        c = stream_probe.stream_count(
+        seg_bounds = None
+        if config.streams > 1:
+            m_lo, m_hi, seg_bounds = hashing.plane_hash_mixed(
+                packed[0], k, L, n_reads[0], seed, pad_to=cap,
+                revcomp=config.revcomp, segments=config.streams,
+            )
+        else:
+            m_lo, m_hi = hashing.plane_hash_mixed(
+                packed[0], k, L, n_reads[0], seed, pad_to=cap,
+                revcomp=config.revcomp,
+            )
+        c = stream_probe.stream_probe_count_mixed(
             key_lo,
             key_hi,
             counts[0],
-            sm_lo,
-            sm_hi,
-            off,
+            m_lo,
+            m_hi,
             max_probe,
             cap=cap,
             interpret=config.interpret,
+            block_probe=bp_local,
+            seg_bounds=seg_bounds,
             bucket_base=row_offset,
             chain_block=chain_block,
-            block_probe=bp_local,
             n_buckets_global=n_buckets,
-            tail_padded=True,
         )
         n_valid = (n_reads[0] * W).astype(jnp.uint32)
         return c[None], n_valid[None]
@@ -285,7 +283,8 @@ class ShardedKmerMapper:
             config = dataclasses.replace(
                 config,
                 stream_cap=auto_stream_cap(
-                    config.buf, index.table.n_buckets, config.read_len, config.k
+                    config.buf // config.streams, index.table.n_buckets,
+                    config.read_len, config.k,
                 ),
             )
         self.config = config

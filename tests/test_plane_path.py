@@ -178,6 +178,78 @@ def test_plane_chunk_step_counts_match_oracle(revcomp):
     np.testing.assert_array_equal(mapper2.node_counts(), mapper.node_counts())
 
 
+@pytest.mark.parametrize("streams,revcomp", [(2, False), (3, False), (2, True)])
+def test_plane_multi_stream_counts_match_oracle(streams, revcomp):
+    """Multi-stream tiles: the chunk's window combos split into S
+    independently sorted segments served by one kernel schedule — counts must
+    be identical to the single-stream plane step and the oracle."""
+    L, k = 51, 31
+    reads = _uniform_reads(70, L, with_n=True)
+    arrays, index = _index_for(reads, k)
+    base = dict(k=k, buf=1 << 12, max_reads=256, probe="stream",
+                interpret=True, read_len=L, revcomp=revcomp, stream_cap=128)
+    mapper = KmerMapper(index, MapperConfig(streams=streams, **base))
+    for packed, lengths, nb, nr, ninv, strided in _pack(
+        reads, 1 << 12, 256, k, read_len=L
+    ):
+        assert strided
+        mapper.map_chunk(packed, lengths, nb, ninv, strided=True)
+    assert mapper.n_kmers_mapped == len(reads) * (L - k + 1)
+    np.testing.assert_array_equal(
+        mapper.node_counts(), _oracle_node_counts(arrays, reads, k, revcomp=revcomp)
+    )
+
+
+def test_plane_multi_stream_paged_schedule(monkeypatch):
+    """streams=2 with the schedule forced into the HBM-paged mode: the paged
+    page rows carry [meta | off_s x streams] — counts must match both the
+    SMEM-mode result and the oracle."""
+    from kmer_mapper_tpu.ops import stream_probe as sp
+
+    L, k = 51, 31
+    reads = _uniform_reads(60, L)
+    arrays, index = _index_for(reads, k)
+    config = MapperConfig(
+        k=k, buf=1 << 12, max_reads=256, probe="stream", interpret=True,
+        read_len=L, stream_cap=128, streams=2,
+    )
+
+    def run():
+        mapper = KmerMapper(index, config)
+        for packed, lengths, nb, nr, ninv, strided in _pack(
+            reads, 1 << 12, 256, k, read_len=L
+        ):
+            mapper.map_chunk(packed, lengths, nb, ninv, strided=strided)
+        return mapper.node_counts()
+
+    meta = run()
+    monkeypatch.setattr(sp, "SMEM_I32_BUDGET", 200)  # force paged mode
+    paged = run()
+    np.testing.assert_array_equal(meta, paged)
+    np.testing.assert_array_equal(meta, _oracle_node_counts(arrays, reads, k))
+
+
+def test_plane_multi_stream_heavy_duplicates():
+    """Skewed queries (one read repeated everywhere) across segment bounds:
+    every stream's window of the hot block must count exactly."""
+    L, k = 37, 21
+    hot = "".join(rng.choice(list("ACGT"), L))
+    reads = [hot] * 90 + _uniform_reads(30, L)
+    arrays, index = _index_for(reads, k)
+    config = MapperConfig(
+        k=k, buf=1 << 12, max_reads=256, probe="stream", interpret=True,
+        read_len=L, stream_cap=128, streams=4,
+    )
+    mapper = KmerMapper(index, config)
+    for packed, lengths, nb, nr, ninv, strided in _pack(
+        reads, 1 << 12, 256, k, read_len=L
+    ):
+        mapper.map_chunk(packed, lengths, nb, ninv, strided=strided)
+    np.testing.assert_array_equal(
+        mapper.node_counts(), _oracle_node_counts(arrays, reads, k)
+    )
+
+
 def test_strided_chunks_generator_mixed_lengths_fallback():
     """Uniform buffers restride + take the plane step; a buffer containing an
     off-length read passes through continuous and takes the ragged step —

@@ -238,6 +238,45 @@ def test_sharded_stream_fixed_read_len_plane_path():
     np.testing.assert_array_equal(mapper_m.node_counts(), expect_m)
 
 
+def test_sharded_plane_multi_stream():
+    """streams=2 on the sharded plane path: per-shard block offsets over two
+    independently sorted segments, one tile schedule — bit-exact vs oracle."""
+    rng = np.random.default_rng(93)
+    k, L = 9, 37
+    reads = ["".join(rng.choice(list("ACGT"), L)) for _ in range(100)]
+    codes = [oracle.encode_string(r) for r in reads]
+    read_kmers = oracle.kmer_hashes_ragged(
+        np.concatenate(codes), np.array([len(c) for c in codes]), k
+    )
+    entry_kmers = np.concatenate(
+        [rng.choice(read_kmers, 150),
+         rng.integers(0, 1 << (2 * k), 80, dtype=np.uint64)]
+    )
+    nodes = rng.integers(0, 120, len(entry_kmers)).astype(np.int32)
+    arrays = oracle.build_kmer_index(entry_kmers, nodes, 1999)
+    expect = oracle.map_kmers_to_index(arrays, read_kmers)
+    unique = np.unique(arrays.kmers)
+    table = layout.build_table(unique, n_buckets=2 * layout.CHAIN_BLOCK)
+    slots = layout.query_table(table, arrays.kmers)
+    tpu = ki.TpuKmerIndex(
+        table=table,
+        entry_slot=slots.astype(np.int32),
+        entry_node=arrays.nodes,
+        entry_frequency=arrays.frequencies,
+        max_node_id=arrays.max_node_id(),
+        n_unique=len(unique),
+    )
+    mesh = make_mesh(n_devices=4, index_parallel=2)
+    config = MapperConfig(
+        k=k, buf=1024, max_reads=64, probe="stream", interpret=True,
+        read_len=L, stream_cap=128, streams=2,
+    )
+    mapper = ShardedKmerMapper(tpu, config, mesh)
+    _run(mapper, reads, config)
+    assert mapper._plane_step is not None
+    np.testing.assert_array_equal(mapper.node_counts(), expect)
+
+
 def test_sharded_plane_revcomp():
     rng = np.random.default_rng(92)
     k, L = 7, 33
