@@ -40,14 +40,15 @@ import os
 
 K = 31
 READ_LEN = 151
-BUF = int(os.environ.get("BENCH_BUF_MI", "32")) << 20  # 32 Mi bases per
-# chunk: the CSE-free sweep optimum on v5e with the word-plane hash
-# (8/16/32/40/48/64 Mi = 246/326/340/253/280/281 Mk/s — past ~27M sorted
-# elements the XLA sort's per-element cost jumps). Pre-plane, 16 Mi won.
-# BENCH_BUF_MI overrides for sweeps.
+BUF = int(os.environ.get("BENCH_BUF_MI", "64")) << 20
+STREAMS = int(os.environ.get("BENCH_STREAMS", "4"))
+# 64 Mi chunks sorted as 4 independent ~13.4M-query segments served by
+# multi-stream kernel tiles — the production default and the CSE-free v5e
+# sweep optimum (353.0 Mk/s; single-stream 8/16/32/40/48/64 Mi =
+# 246/326/340/253/280/281 — XLA's sort is fastest below ~2^24 elements —
+# and 64Mi S=2/3/4, 96Mi S=6, 128Mi S=8 = 296/257/353/326/289).
+# BENCH_BUF_MI / BENCH_STREAMS override for sweeps.
 N_UNIQUE = int(os.environ.get("BENCH_N_UNIQUE", "4000000"))
-STREAMS = int(os.environ.get("BENCH_STREAMS", "1"))  # sorted streams per
-# kernel schedule on the plane path (see MapperConfig.streams)
 STEPS = 8  # chunk steps chained inside one jitted window
 N_WINDOWS = 4
 BASELINE_SAMPLE_BASES = 2 << 20

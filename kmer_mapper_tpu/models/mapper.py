@@ -403,7 +403,7 @@ class KmerMapper:
                 # a chunk with off-length reads (mixed-length file, split long
                 # reads, ...) takes the ragged step; results are identical
                 if self._ragged_step is None:
-                    cfg = dataclasses.replace(self.config, read_len=0)
+                    cfg = dataclasses.replace(self.config, read_len=0, streams=1)
                     self._ragged_step = make_step(
                         cfg,
                         self.index.table.max_probe,

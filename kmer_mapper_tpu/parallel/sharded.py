@@ -334,7 +334,7 @@ class ShardedKmerMapper:
             if self._ragged_step is None:
                 import dataclasses
 
-                cfg = dataclasses.replace(self.config, read_len=0)
+                cfg = dataclasses.replace(self.config, read_len=0, streams=1)
                 self._ragged_step = make_sharded_step(
                     self.mesh,
                     cfg,

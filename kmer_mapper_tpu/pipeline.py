@@ -199,22 +199,36 @@ def make_mapper_and_chunks(
     read are sliced away before the sort instead of masked through it (~20%
     of the array at 151 bp). Later non-uniform chunks take a ragged twin
     step with identical results."""
-    floor = _buf_floor(index, k)
+    floor, paged = _buf_floor(index, k)
     buf = _round_up(min(max(chunk_size, floor), 64 << 20), 1 << 13)
-    if floor > 32 << 20:
+    if paged:
         logger.info(
-            "large index (%d buckets): schedule is HBM-paged, raising the "
-            "device buffer to %d Mi bases to amortize the per-block kernel "
-            "tiles", index.table.n_buckets, buf >> 20,
+            "large index (%d buckets): the kernel schedule is HBM-paged "
+            "(device buffer %d Mi bases)", index.table.n_buckets, buf >> 20,
         )
-    make_config = lambda read_len: default_config(  # noqa: E731
-        k=k,
-        buf=buf,
-        max_reads=max(1024, buf // 32),
-        revcomp=map_reverse_complements,
-        accumulate=accumulate,
-        read_len=read_len,
-    )
+
+    def make_config(read_len):
+        # fixed-length reads on the stream probe: the 64 Mi chunk is sorted
+        # as 4 independent ~13.4M-query segments served by multi-stream
+        # kernel tiles — the v5e sweep optimum (353 vs 340 Mk/s at the best
+        # single-stream config; XLA's sort is fastest below ~2^24 elements
+        # while kernel tiles per chunk are ~constant). Large paged tables
+        # keep S=1: their tile count is ~4x higher, so the per-stream
+        # sub-pass overhead outweighs the sort saving (conservative until
+        # measured).
+        streams = 1
+        if read_len and buf >= 64 << 20 and not paged:
+            if default_config(k=k).probe == "stream":
+                streams = 4
+        return default_config(
+            k=k,
+            buf=buf,
+            max_reads=max(1024, buf // 32),
+            revcomp=map_reverse_complements,
+            accumulate=accumulate,
+            read_len=read_len,
+            streams=streams,
+        )
     chunks = iter(packed_chunk_iterator(reads_path, make_config(0), chunk_size))
     first = next(chunks, None)
     mapper = KmerMapper(index, make_config(_detect_read_len(first, k)), device=device)
@@ -295,17 +309,24 @@ def map_file_sharded(
 
     index = load_index(index)
     mesh = make_mesh(n_devices=n_devices, index_parallel=index_parallel)
-    buf = _round_up(
-        min(max(chunk_size, _buf_floor(index, k, n_shards=index_parallel)), 64 << 20),
-        1 << 13,
-    )
-    make_config = lambda read_len: default_config(  # noqa: E731
-        k=k,
-        buf=buf,
-        max_reads=max(1024, buf // 32),
-        revcomp=map_reverse_complements,
-        read_len=read_len,
-    )
+    floor, paged = _buf_floor(index, k, n_shards=index_parallel)
+    buf = _round_up(min(max(chunk_size, floor), 64 << 20), 1 << 13)
+
+    def make_config(read_len):
+        # same multi-stream default as map_file (per-shard schedules decide
+        # paged-ness: shards of a big table often fit SMEM again)
+        streams = 1
+        if read_len and buf >= 64 << 20 and not paged:
+            if default_config(k=k).probe == "stream":
+                streams = 4
+        return default_config(
+            k=k,
+            buf=buf,
+            max_reads=max(1024, buf // 32),
+            revcomp=map_reverse_complements,
+            read_len=read_len,
+            streams=streams,
+        )
     config = make_config(0)
     packed = iter(packed_chunk_iterator(reads_path, config, chunk_size))
     # same uniform-read-length detection as map_file; batches that break
@@ -380,33 +401,31 @@ def _detect_read_len(first_chunk, k: int) -> int:
     return 0
 
 
-def _buf_floor(index: TpuKmerIndex | None = None, k: int = 31, n_shards: int = 1) -> int:
+def _buf_floor(
+    index: TpuKmerIndex | None = None, k: int = 31, n_shards: int = 1
+) -> tuple[int, bool]:
+    """(device buffer floor in bases, schedule-is-paged). On TPU the floor is
+    64 Mi everywhere: fixed-read-length files sort it as 4 multi-stream
+    segments (the v5e optimum, 353 Mk/s); large paged tables amortize their
+    ~constant per-chunk kernel tile count (210 vs 151 Mk/s at 64 vs 16 Mi,
+    r3_large_table.py); ragged single-stream files lose only ~3% vs their own
+    32 Mi optimum — not worth a second compile shape. The paged-ness flag
+    (the kernel's own planner at a 32 Mi probe; the first shard's block span
+    approximates a sharded index) picks the stream count in make_config."""
     import jax
 
-    # CSE-free sweeps on v5e: with the word-plane hash 32 Mi is the sharp
-    # optimum (8/16/32/40/48/64 Mi = 246/326/340/253/280/281 Mk/s — the sort
-    # cost per element is jagged past ~27M elements); pre-plane, 16 Mi won
-    # (286/260/253 at 16/32/64)
     if jax.default_backend() != "tpu":
-        return 1 << 16
-    floor = 32 << 20
+        return 1 << 16, False
+    floor = 64 << 20
     if index is None:
-        return floor
-    # LARGE tables (schedule paged through HBM instead of SMEM-resident):
-    # the per-chunk kernel tile count is ~constant (one-plus tiles per chain
-    # block per probe round), so bigger chunks amortize it — measured 210 vs
-    # 151 Mk/s at 64 vs 16 Mi on a 4.19M-bucket table (r3_large_table.py),
-    # where the small-table ordering is the reverse. Decide with the kernel's
-    # own schedule planner at the 16 Mi floor; with a sharded index each
-    # shard's schedule is what matters (approximated by the first shard's
-    # block span).
+        return floor, False
     from .models.mapper import auto_stream_cap
     from .ops import stream_probe
 
     t = index.table
     n_local = max(128, t.n_buckets // max(1, n_shards))
-    cap = auto_stream_cap(floor, t.n_buckets, 0, k)
-    n_q = floor  # query slots before invalid thinning (upper bound)
+    cap = auto_stream_cap(32 << 20, t.n_buckets, 0, k)
+    n_q = 32 << 20  # query slots before invalid thinning (upper bound)
     try:
         plan = stream_probe.plan_schedule(
             n_local,
@@ -415,11 +434,10 @@ def _buf_floor(index: TpuKmerIndex | None = None, k: int = 31, n_shards: int = 1
             max_probe=t.max_probe,
             block_probe=t.block_max_probe()[: n_local // min(128, n_local)],
         )
-        if not plan.use_meta:
-            floor = 64 << 20
+        paged = not plan.use_meta
     except ValueError:
-        floor = 64 << 20  # beyond even the paged single-chip schedule
-    return floor
+        paged = True  # beyond even the paged single-chip schedule
+    return floor, paged
 
 
 def _round_up(x: int, m: int) -> int:

@@ -362,10 +362,10 @@ def test_sharded_mapper_ragged_batch_falls_back(tmp_path):
     )
 
 
-def test_buf_floor_paged_tables_get_large_buffers(monkeypatch):
-    """Large (paged-schedule) tables raise the device-buffer floor to 64 Mi —
-    measured 210 vs 151 Mk/s at 64 vs 16 Mi on a 4.19M-bucket table — while
-    small (SMEM-schedule) tables keep the 16 Mi sweep optimum. The decision
+def test_buf_floor_and_paged_flag(monkeypatch):
+    """On TPU the device-buffer floor is a uniform 64 Mi (multi-stream sorted
+    segments for fixed-read-length files; tile amortization for large paged
+    tables); the paged-ness flag — which selects streams=1 for large tables —
     must come from the kernel's own plan_schedule (no drift)."""
     from types import SimpleNamespace
 
@@ -376,7 +376,7 @@ def test_buf_floor_paged_tables_get_large_buffers(monkeypatch):
     rng = np.random.default_rng(0)
     reads = _make_reads(rng)
     small = ki.TpuKmerIndex.from_arrays(_index_from_reads(rng, reads, 31))
-    assert pipeline._buf_floor(small) == 16 << 20
+    assert pipeline._buf_floor(small) == (64 << 20, False)
 
     big_table = SimpleNamespace(
         n_buckets=4 << 20,
@@ -384,7 +384,7 @@ def test_buf_floor_paged_tables_get_large_buffers(monkeypatch):
         block_max_probe=lambda: np.full((4 << 20) // 128, 2, np.int32),
     )
     big = SimpleNamespace(table=big_table)
-    assert pipeline._buf_floor(big) == 64 << 20
+    assert pipeline._buf_floor(big) == (64 << 20, True)
     # sharded 8 ways the per-shard schedule fits SMEM again
-    assert pipeline._buf_floor(big, n_shards=8) == 16 << 20
-    assert pipeline._buf_floor(None) == 16 << 20
+    assert pipeline._buf_floor(big, n_shards=8) == (64 << 20, False)
+    assert pipeline._buf_floor(None) == (64 << 20, False)
