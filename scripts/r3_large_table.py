@@ -70,16 +70,18 @@ def main():
         f"block rounds mean={bp.mean():.2f}, built {time.perf_counter()-t:.1f}s"
     )
 
-    cap = cap_arg or auto_stream_cap(BUF, table.n_buckets, READ_LEN)
+    streams = int(os.environ.get("STREAMS", "1"))
+    cap = cap_arg or auto_stream_cap(BUF // streams, table.n_buckets, READ_LEN)
     config = default_config(
         k=K, buf=BUF, max_reads=BUF // 64, read_len=READ_LEN,
-        stream_cap=cap, aug=aug, group=grp,
+        stream_cap=cap, aug=aug, group=grp, streams=streams,
     )
     # confirm which schedule mode this size lands in (the kernel's own plan)
     n_q = BUF // READ_LEN * (READ_LEN - K + 1)
     plan = stream_probe.plan_schedule(
         table.n_buckets, n_q + (-n_q) % cap + 2 * cap, cap=cap,
         max_probe=table.max_probe, aug=aug, group=grp, block_probe=bp,
+        streams=streams,
     )
     g, use_meta = plan.group, plan.use_meta
     log(
@@ -155,7 +157,7 @@ def main():
         log(f"window {w}: {r/1e6:.1f} Mkmers/s")
     print(
         f"RESULT n_unique={len(entry_kmers)} buckets={table.n_buckets} "
-        f"buf={BUF >> 20}Mi aug={aug} cap={cap} group={g} "
+        f"buf={BUF >> 20}Mi aug={aug} cap={cap} group={g} streams={streams} "
         f"mode={'meta' if use_meta else 'paged'} best={best/1e6:.1f} Mk/s"
     )
 
