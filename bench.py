@@ -106,7 +106,7 @@ def main():
     # tile is auto-sized to the index's block density like KmerMapper does
     config = default_config(
         k=K, buf=BUF, max_reads=BUF // 64, read_len=READ_LEN,
-        stream_cap=auto_stream_cap(BUF // STREAMS, table.n_buckets, READ_LEN),
+        stream_cap=auto_stream_cap(BUF // STREAMS, table.n_buckets, READ_LEN, streams=STREAMS),
     )
     if STREAMS > 1 and config.probe == "stream":
         import dataclasses

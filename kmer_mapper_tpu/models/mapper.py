@@ -243,6 +243,7 @@ def auto_stream_cap(
     read_len: int = 0,
     k: int = 31,
     valid_frac: float | None = None,
+    streams: int = 1,
 ) -> int:
     """Stream-kernel tile size fitted to the expected queries per chain
     block. The CSE-free v5e sweep (16 Mi chunks, 8192 blocks, ~1700 queries
@@ -258,7 +259,12 @@ def auto_stream_cap(
         valid_frac = (read_len - k + 1) / read_len if read_len > k else 0.8
     mean_q = buf * valid_frac / n_blocks
     cap = int(np.ceil(mean_q * 1.05 / 128.0)) * 128
-    return max(512, min(8192, cap))
+    # multi-stream tiles are streams*cap lanes wide and the kernel's VMEM
+    # intermediates scale with that width — bound the TOTAL at the 8192
+    # single-stream ceiling (a tiny table + S=4 at cap 8192 measured a
+    # 21.6 MB scoped-vmem overflow)
+    ceiling = max(128, (8192 // streams) // 128 * 128)
+    return max(min(512, ceiling), min(ceiling, cap))
 
 
 def chunk_is_fixed(lengths, n_bases, read_len: int) -> bool:
@@ -311,7 +317,7 @@ class KmerMapper:
                 config,
                 stream_cap=auto_stream_cap(
                     config.buf // config.streams, index.table.n_buckets,
-                    config.read_len, config.k,
+                    config.read_len, config.k, streams=config.streams,
                 ),
             )
         self.config = config

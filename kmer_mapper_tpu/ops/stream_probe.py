@@ -414,8 +414,12 @@ def _kernel(
     ci = pl.program_id(0)
     counts_out_ref[...] = counts_in_ref[...]
     tb_s[...] = _table_bytes(key_lo_ref[...], key_hi_ref[...]).astype(jnp.bfloat16)
-    rows = lax.broadcasted_iota(jnp.int32, (gpb, cap), 0)
-    lane_pos = lax.broadcasted_iota(jnp.int32, (1, cap), 1)
+    lanes = streams * cap  # tile width: one cap-wide sub-window per stream
+    rows = lax.broadcasted_iota(jnp.int32, (gpb, lanes), 0)
+    lane_pos = lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
+    if streams > 1:
+        lane_sidx = lane_pos // cap  # which stream owns each lane
+        lane_sub = lane_pos % cap  # lane offset within its sub-window
     n_steps = n_groups // coarse
     # scalar layout: [shard_base | goff x streams | rounds | tile_bounds |
     # (SMEM mode) t_meta, t_off x streams]; stream s's group bounds live at
@@ -433,11 +437,18 @@ def _kernel(
     align = min(ALIGN, cap)
 
     def dma_at(offset, slot, s):
-        # one fused (2, cap) copy per (tile, stream): both mixed-word rows
-        # share the offset, so two copies + two semaphore waits become one
+        # one fused (2, cap) copy per (tile, stream) into stream s's lane
+        # slice of the tile scratch: both mixed-word rows share the offset,
+        # so two copies + two semaphore waits become one. All S sub-windows
+        # then form ONE (2, S*cap) tile processed by a single body pass —
+        # per-lane work is unchanged vs single-stream, and the per-tile
+        # fixed costs (one-hot materialization, two matmul issues, mask
+        # setup) are paid once instead of once per stream.
         o = pl.multiple_of(offset, align)
         return pltpu.make_async_copy(
-            q_hbm.at[:, pl.ds(o, cap)], q_s.at[slot, s], sems.at[slot, s]
+            q_hbm.at[:, pl.ds(o, cap)],
+            q_s.at[slot, :, pl.ds(s * cap, cap)],
+            sems.at[slot, s],
         )
 
     if use_meta:
@@ -514,71 +525,89 @@ def _kernel(
         base_bucket = off_ref[0] + grp * gpb  # off_ref[0] = shard base (buckets)
         row0 = pl.multiple_of((grp - ci * coarse) * gpb, gpb)
         tb = tb_s[pl.ds(row0, gpb), :]
-        grand = None
-        for s in range(streams):  # one cap-wide sub-window per sorted stream
-            base_j = sched_off(t, s)
-            dma_at(base_j, slot, s).wait()
-            start = off_ref[1 + s * goff_len + grp]
-            end = off_ref[1 + s * goff_len + grp + 1]
+        # per-lane position / group-range vectors over the (2, S*cap) tile:
+        # lanes [s*cap, (s+1)*cap) hold stream s's sub-window, so pos/start/
+        # end are built from S per-tile scalars via static lane-range selects
+        # (streams == 1 reduces to the plain scalars)
+        if streams == 1:
+            base_j = sched_off(t, 0)
+            dma_at(base_j, slot, 0).wait()
             pos = base_j + lane_pos  # (1, cap)
-            qm_lo = q_s[slot, s, 0:1, :]
-            qm_hi = q_s[slot, s, 1:2, :]
-            # bucket id = high bits of the mixed low word (no bucket operand);
-            # a single-bucket table (shift 32) has bucket id 0 for every query
-            if shift >= 32:
-                qb = jnp.zeros(qm_lo.shape, jnp.int32)
-            else:
-                qb = (qm_lo >> jnp.uint32(shift)).astype(jnp.int32)
-            live = (pos >= start) & (pos < end)
-            local_b = qb - base_bucket  # (1, cap), in [0, gpb) when live
-            live = live & (local_b >= 0) & (local_b < gpb)
-            # invalid queries (all-ones word pair) ride the last bucket's
-            # range; they may only "match" EMPTY slots — mask them out
-            live = live & ~((qm_lo == INVALID_WORD) & (qm_hi == INVALID_WORD))
-            # scheduled round p folded into the one-hot: comparing against row
-            # (local_b + p*aug), wrapped WITHIN the query's own chain block,
-            # gathers the chained bucket's keys AND lands the count
-            # contribution on that same chained row — identical to rolling the
-            # table tile, with no roll. With chain augmentation (aug > 1) the
-            # table row also carries the NEXT aug-1 buckets' keys
-            # (layout.aug_keys), so one scheduled round covers aug chain
-            # positions: extra 62-bit-exact compares are always sound (a key
-            # is stored once — they can only find the true slot), so most
-            # blocks need a single round. A group is ``gpb // bpb`` adjacent
-            # chain blocks served by ONE widened one-hot (the gather/compare
-            # work is shared, unlike the rejected sub-grouping that
-            # duplicated the matmuls).
-            local_bp = (local_b & ~jnp.int32(bpb - 1)) | (
-                (local_b + p * jnp.int32(aug)) & jnp.int32(bpb - 1)
-            )
-            one_hot = ((rows == local_bp) & live).astype(jnp.bfloat16)
-            # per-query candidate key bytes: (8*aug*K, cap) = tbᵀ ⨯ one_hot
-            gathered = lax.dot_general(
-                tb,
+            start = off_ref[1 + grp]
+            end = off_ref[2 + grp]
+        else:
+            bases_t, starts, ends = [], [], []
+            for s in range(streams):
+                dma_at(sched_off(t, s), slot, s).wait()
+                bases_t.append(sched_off(t, s))
+                starts.append(off_ref[1 + s * goff_len + grp])
+                ends.append(off_ref[1 + s * goff_len + grp + 1])
+
+            def lane_select(vals):
+                out = jnp.full(lane_sidx.shape, vals[0], jnp.int32)
+                for s in range(1, streams):
+                    out = jnp.where(lane_sidx == s, vals[s], out)
+                return out
+
+            pos = lane_sub + lane_select(bases_t)
+            start = lane_select(starts)
+            end = lane_select(ends)
+        qm_lo = q_s[slot, 0:1, :]
+        qm_hi = q_s[slot, 1:2, :]
+        # bucket id = high bits of the mixed low word (no bucket operand);
+        # a single-bucket table (shift 32) has bucket id 0 for every query
+        if shift >= 32:
+            qb = jnp.zeros(qm_lo.shape, jnp.int32)
+        else:
+            qb = (qm_lo >> jnp.uint32(shift)).astype(jnp.int32)
+        live = (pos >= start) & (pos < end)
+        local_b = qb - base_bucket  # (1, S*cap), in [0, gpb) when live
+        live = live & (local_b >= 0) & (local_b < gpb)
+        # invalid queries (all-ones word pair) ride the last bucket's range;
+        # they may only "match" EMPTY slots — mask them out of the hit test
+        live = live & ~((qm_lo == INVALID_WORD) & (qm_hi == INVALID_WORD))
+        # scheduled round p folded into the one-hot: comparing against row
+        # (local_b + p*aug), wrapped WITHIN the query's own chain block,
+        # gathers the chained bucket's keys AND lands the count contribution
+        # on that same chained row — identical to rolling the table tile,
+        # with no roll. With chain augmentation (aug > 1) the table row also
+        # carries the NEXT aug-1 buckets' keys (layout.aug_keys), so one
+        # scheduled round covers aug chain positions: extra 62-bit-exact
+        # compares are always sound (a key is stored once — they can only
+        # find the true slot), so most blocks need a single round. A group is
+        # ``gpb // bpb`` adjacent chain blocks served by ONE widened one-hot
+        # (the gather/compare work is shared, unlike the rejected
+        # sub-grouping that duplicated the matmuls).
+        local_bp = (local_b & ~jnp.int32(bpb - 1)) | (
+            (local_b + p * jnp.int32(aug)) & jnp.int32(bpb - 1)
+        )
+        one_hot = ((rows == local_bp) & live).astype(jnp.bfloat16)
+        # per-query candidate key bytes: (8*aug*K, S*cap) = tbᵀ ⨯ one_hot
+        gathered = lax.dot_general(
+            tb,
+            one_hot,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        qp0, qp1, qp2 = _packed_query_planes(qm_lo, qm_hi)
+        total = None
+        for h in range(aug):
+            gp0, gp1, gp2 = _packed_gathered(gathered, h, aug)
+            hits = live & (gp0 == qp0) & (gp1 == qp1) & (gp2 == qp2)
+            c = lax.dot_general(
                 one_hot,
-                dimension_numbers=(((0,), (0,)), ((), ())),
+                hits.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )
-            qp0, qp1, qp2 = _packed_query_planes(qm_lo, qm_hi)
-            total = None
-            for h in range(aug):
-                gp0, gp1, gp2 = _packed_gathered(gathered, h, aug)
-                hits = live & (gp0 == qp0) & (gp1 == qp1) & (gp2 == qp2)
-                c = lax.dot_general(
-                    one_hot,
-                    hits.astype(jnp.bfloat16),
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (gpb, K): contributions computed at the one-hot row, but
-                # a half-h hit belongs to bucket (row + h) wrapped in the
-                # chain block — shift rows down by h (gpb == bpb when aug > 1)
-                if h:
-                    c = jnp.concatenate([c[gpb - h :, :], c[: gpb - h, :]], axis=0)
-                total = c if total is None else total + c
-            grand = total if grand is None else grand + total
+            )  # (gpb, K): contributions computed at the one-hot row, but a
+            # half-h hit belongs to bucket (row + h) wrapped in the chain
+            # block — shift rows down by h (gpb == bpb when aug > 1)
+            if h:
+                c = jnp.concatenate([c[gpb - h :, :], c[: gpb - h, :]], axis=0)
+            total = c if total is None else total + c
         counts_out_ref[pl.ds(row0, gpb), :] = counts_out_ref[
             pl.ds(row0, gpb), :
-        ] + grand.astype(jnp.int32).astype(jnp.uint32)
+        ] + total.astype(jnp.int32).astype(jnp.uint32)
         return carry
 
     if use_meta:
@@ -691,7 +720,7 @@ def stream_count(
         pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
     ]
     scratch_shapes = [
-        pltpu.VMEM((n_slots, streams, 2, cap), jnp.uint32),
+        pltpu.VMEM((n_slots, 2, streams * cap), jnp.uint32),
         pltpu.VMEM((coarse * gpb, 8 * aug * BUCKET_KEYS), jnp.bfloat16),
         pltpu.SemaphoreType.DMA((n_slots, streams)),
     ]

@@ -284,7 +284,7 @@ class ShardedKmerMapper:
                 config,
                 stream_cap=auto_stream_cap(
                     config.buf // config.streams, index.table.n_buckets,
-                    config.read_len, config.k,
+                    config.read_len, config.k, streams=config.streams,
                 ),
             )
         self.config = config
