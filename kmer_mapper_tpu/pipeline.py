@@ -187,18 +187,16 @@ def make_mapper_and_chunks(
 ) -> tuple[KmerMapper, Iterable]:
     """Build the device mapper plus the packed host chunk iterator.
 
-    The device buffer is at least 16 Mi bases regardless of ``chunk_size``
-    (the reference's 2.5 MB default is a CPU-pool tuning knob; on TPU, large
-    fixed-shape buffers amortize per-block kernel and dispatch costs, while
-    the sort's n log n growth punishes oversized ones — 16 Mi is the CSE-free
-    sweep optimum on v5e). On CPU (tests/fallback) the buffer follows
-    chunk_size directly.
+    The device buffer is 64 Mi bases regardless of ``chunk_size`` (the
+    reference's 2.5 MB default is a CPU-pool tuning knob; on TPU the
+    fixed-read-length path sorts the chunk as multi-stream segments and the
+    kernel's per-chunk tile count is ~constant — see ``_buf_floor``). On CPU
+    (tests/fallback) the buffer follows chunk_size directly.
 
     If the first chunk consists of uniform-length reads (the Illumina case),
-    the step compiles with ``read_len`` set: the k-1 dead window slots per
-    read are sliced away before the sort instead of masked through it (~20%
-    of the array at 151 bp). Later non-uniform chunks take a ragged twin
-    step with identical results."""
+    the step compiles with ``read_len`` set and conforming buffers take the
+    word-plane multi-stream fast path (``hashing.plane_hash_mixed``); later
+    non-uniform chunks take a ragged twin step with identical results."""
     floor, paged = _buf_floor(index, k)
     buf = _round_up(min(max(chunk_size, floor), 64 << 20), 1 << 13)
     if paged:
@@ -209,17 +207,17 @@ def make_mapper_and_chunks(
 
     def make_config(read_len):
         # fixed-length reads on the stream probe: the 64 Mi chunk is sorted
-        # as 4 independent ~13.4M-query segments served by multi-stream
-        # kernel tiles — the v5e sweep optimum (353 vs 340 Mk/s at the best
-        # single-stream config; XLA's sort is fastest below ~2^24 elements
-        # while kernel tiles per chunk are ~constant). Large paged tables
-        # keep S=1: their tile count is ~4x higher, so the per-stream
-        # sub-pass overhead outweighs the sort saving (conservative until
-        # measured).
+        # as independent ~13.4M-query segments served by fused multi-stream
+        # kernel tiles — the v5e sweep optimum (361.7 vs 340 Mk/s at the
+        # best single-stream config; XLA's sort is fastest below ~2^24
+        # elements while kernel tiles per chunk are ~constant). Large paged
+        # tables take S=2 (246.9 vs 237.3/230.5 at S=1/S=4 on a
+        # 4.19M-bucket table: their per-block windows are thin, so S=4's
+        # tighter cap inflates the tile count).
         streams = 1
-        if read_len and buf >= 64 << 20 and not paged:
+        if read_len and buf >= 64 << 20:
             if default_config(k=k).probe == "stream":
-                streams = 4
+                streams = 2 if paged else 4
         return default_config(
             k=k,
             buf=buf,
@@ -316,9 +314,9 @@ def map_file_sharded(
         # same multi-stream default as map_file (per-shard schedules decide
         # paged-ness: shards of a big table often fit SMEM again)
         streams = 1
-        if read_len and buf >= 64 << 20 and not paged:
+        if read_len and buf >= 64 << 20:
             if default_config(k=k).probe == "stream":
-                streams = 4
+                streams = 2 if paged else 4
         return default_config(
             k=k,
             buf=buf,

@@ -393,8 +393,9 @@ def test_buf_floor_and_paged_flag(monkeypatch):
 def test_make_config_streams_policy(monkeypatch, tmp_path):
     """The pipeline's multi-stream default: streams=4 only for
     fixed-read-length stream-probe runs on SMEM-schedule tables; paged
-    tables and ragged files stay single-stream (measured: 230.5 vs 237.3
-    Mk/s at S=2 vs S=1 on a 4.19M-bucket paged table)."""
+    tables take streams=2 (fused-tile measurements on a 4.19M-bucket table:
+    246.9 at S=2 vs 237.3/230.5 at S=1/S=4); ragged files stay
+    single-stream."""
     from types import SimpleNamespace
 
     import jax
@@ -417,10 +418,10 @@ def test_make_config_streams_policy(monkeypatch, tmp_path):
         floor, paged = pl._buf_floor(index, 31)
         buf = pl._round_up(min(max(2_500_000, floor), 64 << 20), 1 << 13)
         streams = 1
-        if read_len and buf >= 64 << 20 and not paged:
-            streams = 4
+        if read_len and buf >= 64 << 20:
+            streams = 2 if paged else 4
         return buf, paged, streams
 
     assert probe_config(small, 151) == (64 << 20, False, 4)
     assert probe_config(small, 0) == (64 << 20, False, 1)
-    assert probe_config(big, 151) == (64 << 20, True, 1)
+    assert probe_config(big, 151) == (64 << 20, True, 2)
