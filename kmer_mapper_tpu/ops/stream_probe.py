@@ -782,11 +782,14 @@ def stream_count(
     # per-stream offsets; a stream whose window has fewer tiles than the
     # group's max reads harmlessly past its window (the live mask rejects,
     # and every segment carries >= 2*cap in-array tail slack), clamped so
-    # the final segment's overhang never leaves the array
+    # the final segment's overhang never leaves the array. One (S, t_pad)
+    # gather instead of S separate ones — the schedule build's cost is
+    # gather passes over the padded entry bound.
+    tile_step = (r - p * nt) * jnp.int32(cap)
+    bases_g = jnp.take(bases, safe, axis=1)  # (S, t_pad)
     t_offs = [
         jnp.minimum(
-            bases[s][safe] + (r - p * nt) * jnp.int32(cap),
-            jnp.int32(n_padded_total - cap),
+            bases_g[s] + tile_step, jnp.int32(n_padded_total - cap)
         )
         for s in range(streams)
     ]
