@@ -775,21 +775,33 @@ def stream_count(
         jnp.zeros(t_pad, jnp.int32).at[csum[1:]].add(1, mode="drop")
     )
     safe = jnp.minimum(t_grp, n_groups - 1)
-    r = jnp.arange(t_pad, dtype=jnp.int32) - csum[jnp.minimum(t_grp, n_groups)]
-    nt = jnp.maximum(n_tiles_g[safe], 1)
+    # ONE row gather serves every per-group value the build needs: XLA row
+    # gathers cost ~6 ns/row FLAT up to 8xu32 rows on v5e (BASELINE.md), so
+    # packing [csum_g | n_tiles_g | bases_s...] into (n_groups + 1, 2 + S)
+    # rows makes the build pay one gather pass over t_pad instead of 2 + S
+    # (row n_groups repeats the last group's tiles/bases — slack entries past
+    # csum[-1] read it harmlessly, exactly like the pre-packed build did)
+    packed_g = jnp.concatenate(
+        [
+            csum[:, None],
+            jnp.concatenate([n_tiles_g, n_tiles_g[-1:]])[:, None],
+            jnp.concatenate([bases.T, bases.T[-1:, :]], axis=0),
+        ],
+        axis=1,
+    )  # (n_groups + 1, 2 + S) int32
+    rows_t = jnp.take(packed_g, jnp.minimum(t_grp, n_groups), axis=0)
+    r = jnp.arange(t_pad, dtype=jnp.int32) - rows_t[:, 0]
+    nt = jnp.maximum(rows_t[:, 1], 1)
     p = jnp.minimum(r // nt, max_rounds - 1)
     t_meta = (safe << PROBE_BITS) | p
     # per-stream offsets; a stream whose window has fewer tiles than the
     # group's max reads harmlessly past its window (the live mask rejects,
     # and every segment carries >= 2*cap in-array tail slack), clamped so
-    # the final segment's overhang never leaves the array. One (S, t_pad)
-    # gather instead of S separate ones — the schedule build's cost is
-    # gather passes over the padded entry bound.
+    # the final segment's overhang never leaves the array
     tile_step = (r - p * nt) * jnp.int32(cap)
-    bases_g = jnp.take(bases, safe, axis=1)  # (S, t_pad)
     t_offs = [
         jnp.minimum(
-            bases_g[s] + tile_step, jnp.int32(n_padded_total - cap)
+            rows_t[:, 2 + s] + tile_step, jnp.int32(n_padded_total - cap)
         )
         for s in range(streams)
     ]
