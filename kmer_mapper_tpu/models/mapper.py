@@ -59,11 +59,13 @@ class MapperConfig:
     # scheduled kernel round covers aug chain positions — most blocks then
     # need a single pass over their query window instead of one per chain
     # round (see stream_probe.py / layout.aug_keys). Stream probe only.
-    streams: int = 1  # sorted query streams per kernel schedule (plane path
-    # only): the chunk's window combos split into S independently sorted
-    # segments served by one tile schedule — XLA's flat sort is fastest below
-    # ~2^24 elements while the kernel's tile count per chunk is ~constant, so
-    # big chunks keep the small-sort rate (see stream_probe_count_mixed)
+    streams: int = 1  # sorted query streams per kernel schedule (stream
+    # probe): the chunk's queries split into S independently sorted segments
+    # served by one tile schedule — XLA's flat sort is fastest below ~2^24
+    # elements while the kernel's tile count per chunk is ~constant, so big
+    # chunks keep the small-sort rate. The plane path splits its window
+    # combos (plane_hash_mixed); the ragged step splits the query array
+    # (stream_probe.mix_pad_segments); results are bit-identical either way.
     read_len: int = 0  # all reads have exactly this length (0 = ragged). With
     # fixed-length reads (the Illumina case) the k-1 invalid windows per read
     # form a static pattern, so the ~20% dead window slots are sliced away
@@ -89,8 +91,8 @@ class MapperConfig:
             assert self.k <= self.read_len <= self.buf
             assert self.super_batch == 1, "read_len requires super_batch == 1"
         assert 1 <= self.streams <= 8
-        assert self.streams == 1 or (self.probe == "stream" and self.read_len), (
-            "streams > 1 requires the fixed-read-length stream (plane) path"
+        assert self.streams == 1 or self.probe == "stream", (
+            "streams > 1 requires the stream probe"
         )
 
     @property
@@ -148,6 +150,7 @@ def chunk_step(
             interpret=config.interpret,
             block_probe=block_probe,
             group=config.group,
+            streams=config.streams,
         )
     else:
         accumulate = probe.ACCUMULATORS[config.accumulate]
@@ -409,7 +412,9 @@ class KmerMapper:
                 # a chunk with off-length reads (mixed-length file, split long
                 # reads, ...) takes the ragged step; results are identical
                 if self._ragged_step is None:
-                    cfg = dataclasses.replace(self.config, read_len=0, streams=1)
+                    # streams carries over: the ragged step segments the
+                    # query array itself (stream_probe.mix_pad_segments)
+                    cfg = dataclasses.replace(self.config, read_len=0)
                     self._ragged_step = make_step(
                         cfg,
                         self.index.table.max_probe,
@@ -495,15 +500,21 @@ class KmerMapper:
             step = self._hash_steps.get(npad)
             if step is None:
                 block_probe = self.index.table.block_max_probe()
+                # batches past the XLA sort cliff (~2^24 elements) sort as
+                # ~16Mi segments served by multi-stream kernel tiles, like
+                # the chunk paths (see MapperConfig.streams)
+                streams = max(1, min(8, npad >> 24))
 
                 def run(key_lo, key_hi, counts, q_lo, q_hi, q_valid):
                     return stream_probe.stream_probe_count(
                         key_lo, key_hi, counts, q_lo, q_hi, q_valid,
                         table.seed, table.max_probe, block_probe=block_probe,
                         cap=auto_stream_cap(
-                            npad, table.n_buckets, valid_frac=1.0
+                            npad // streams, table.n_buckets,
+                            valid_frac=1.0, streams=streams,
                         ),
                         interpret=self.config.interpret,
+                        streams=streams,
                     )
 
                 step = self._hash_steps[npad] = jax.jit(run, donate_argnums=(2,))

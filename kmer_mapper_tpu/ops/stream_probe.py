@@ -228,6 +228,44 @@ def sort_queries(q_lo, q_hi, valid, n_buckets: int, seed: int, pad_to: int = 0):
     return lax.sort((m_lo, m_hi), dimension=0, num_keys=1, is_stable=False)
 
 
+def mix_pad_segments(q_lo, q_hi, valid, seed: int, pad_to: int, segments: int):
+    """Mix + mask + per-segment tail-pad UNSORTED queries into the
+    multi-stream layout ``stream_probe_count_mixed`` consumes.
+
+    The ragged-path analog of ``hashing.plane_hash_mixed(segments=S)``: the
+    query array splits into S equal slices, each independently tail-padded
+    with the invalid all-ones pattern (>= 2*pad_to slack, like
+    ``sort_queries(pad_to=...)``), so each segment can be sorted at XLA's
+    small-array sweet-spot rate while the kernel serves all S sorted streams
+    from one tile schedule. Returns (m_lo, m_hi, seg_bounds)."""
+    assert segments >= 1
+    n = q_lo.shape[0]
+    assert n >= segments
+    m_lo, m_hi = feistel_mix(q_lo, q_hi, seed=seed, xp=jnp)
+    m_lo = jnp.where(valid, m_lo, INVALID_WORD)
+    m_hi = jnp.where(valid, m_hi, INVALID_WORD)
+
+    def tail(ln):
+        pad = (-ln) % pad_to + 2 * pad_to
+        return jnp.full(pad, INVALID_WORD)
+
+    lo_parts, hi_parts, bounds = [], [], []
+    pos = 0
+    for s in range(segments):
+        a, b = n * s // segments, n * (s + 1) // segments
+        t = tail(b - a)
+        lo_parts += [lax.slice(m_lo, (a,), (b,)), t]
+        hi_parts += [lax.slice(m_hi, (a,), (b,)), t]
+        length = (b - a) + t.shape[0]
+        bounds.append((pos, length))
+        pos += length
+    return (
+        jnp.concatenate(lo_parts),
+        jnp.concatenate(hi_parts),
+        tuple(bounds),
+    )
+
+
 def block_offsets(sorted_m_lo, n_buckets: int, block: int, bucket_base=0, n_local=None):
     """int32[n_blocks + 1] query-range bounds per table block.
 
@@ -853,9 +891,26 @@ def stream_probe_count(
     block_probe=None,
     coarse: int = 0,
     group: int = 0,
+    streams: int = 1,
 ):
-    """Full stream path: sort -> block offsets -> stream kernel."""
+    """Full stream path: sort -> block offsets -> stream kernel.
+
+    ``streams > 1`` sorts the queries as S independent equal segments served
+    by multi-stream kernel tiles (``mix_pad_segments`` + the seg_bounds path
+    of ``stream_probe_count_mixed``) — XLA's flat 2-operand sort has a
+    per-element cliff past ~2^24 elements, so large ragged chunks and big
+    pre-hashed batches keep the small-sort rate this way, exactly like the
+    fixed-read-length plane path."""
     n_buckets = key_lo.shape[0]
+    if streams > 1:
+        m_lo, m_hi, seg_bounds = mix_pad_segments(
+            q_lo, q_hi, valid, seed, cap, streams
+        )
+        return stream_probe_count_mixed(
+            key_lo, key_hi, counts, m_lo, m_hi, max_probe,
+            cap=cap, interpret=interpret, block_probe=block_probe,
+            coarse=coarse, group=group, seg_bounds=seg_bounds,
+        )
     sm_lo, sm_hi = sort_queries(q_lo, q_hi, valid, n_buckets, seed, pad_to=cap)
     bpb = min(CHAIN_BLOCK, n_buckets)
     off = block_offsets(sm_lo, n_buckets, bpb)

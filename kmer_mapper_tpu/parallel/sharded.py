@@ -95,6 +95,20 @@ def make_sharded_step(
             cap = config.stream_cap or stream_probe.DEFAULT_CAP
 
             def probe_and_count_stream(c, q_lo, q_hi, q_valid):
+                if config.streams > 1:
+                    # ragged multi-stream: S independently sorted segments
+                    # served by one tile schedule (same layout as the plane
+                    # twin's plane_hash_mixed(segments=S))
+                    m_lo, m_hi, seg_bounds = stream_probe.mix_pad_segments(
+                        q_lo, q_hi, q_valid, seed, cap, config.streams
+                    )
+                    return stream_probe.stream_probe_count_mixed(
+                        key_lo, key_hi, c, m_lo, m_hi, max_probe,
+                        cap=cap, interpret=config.interpret,
+                        block_probe=bp_local, seg_bounds=seg_bounds,
+                        bucket_base=row_offset, chain_block=chain_block,
+                        n_buckets_global=n_buckets,
+                    )
                 sm_lo, sm_hi = stream_probe.sort_queries(
                     q_lo, q_hi, q_valid, n_buckets, seed, pad_to=cap
                 )
@@ -334,7 +348,9 @@ class ShardedKmerMapper:
             if self._ragged_step is None:
                 import dataclasses
 
-                cfg = dataclasses.replace(self.config, read_len=0, streams=1)
+                # streams carries over: the ragged step segments the query
+                # array itself (stream_probe.mix_pad_segments)
+                cfg = dataclasses.replace(self.config, read_len=0)
                 self._ragged_step = make_sharded_step(
                     self.mesh,
                     cfg,

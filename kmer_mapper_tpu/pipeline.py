@@ -206,18 +206,19 @@ def make_mapper_and_chunks(
         )
 
     def make_config(read_len):
-        # fixed-length reads on the stream probe: the 64 Mi chunk is sorted
-        # as independent ~13.4M-query segments served by fused multi-stream
-        # kernel tiles — the v5e sweep optimum (361.7 vs 340 Mk/s at the
-        # best single-stream config; XLA's sort is fastest below ~2^24
-        # elements while kernel tiles per chunk are ~constant). Large paged
-        # tables take S=2 (246.9 vs 237.3/230.5 at S=1/S=4 on a
-        # 4.19M-bucket table: their per-block windows are thin, so S=4's
-        # tighter cap inflates the tile count).
+        # stream probe: the 64 Mi chunk is sorted as independent ~2^24-sized
+        # segments served by fused multi-stream kernel tiles — XLA's sort is
+        # fastest below ~2^24 elements while kernel tiles per chunk are
+        # ~constant. v5e sweep optima: fixed-length (plane) S=4 (371 vs 340
+        # Mk/s at the best single-stream config; ~53.8M windows/chunk);
+        # ragged S=6 (227.4 vs 219.9/205.1/178.1 at S=4/8/1 — all 67M buf
+        # slots are window candidates, so more segments reach the sweet
+        # spot). Large paged tables take S=2 (246.9 vs 237.3/230.5 at
+        # S=1/S=4 on a 4.19M-bucket table: their per-block windows are thin,
+        # so S=4's tighter cap inflates the tile count).
         streams = 1
-        if read_len and buf >= 64 << 20:
-            if default_config(k=k).probe == "stream":
-                streams = 2 if paged else 4
+        if buf >= 64 << 20 and default_config(k=k).probe == "stream":
+            streams = 2 if paged else (4 if read_len else 6)
         return default_config(
             k=k,
             buf=buf,
@@ -314,9 +315,8 @@ def map_file_sharded(
         # same multi-stream default as map_file (per-shard schedules decide
         # paged-ness: shards of a big table often fit SMEM again)
         streams = 1
-        if read_len and buf >= 64 << 20:
-            if default_config(k=k).probe == "stream":
-                streams = 2 if paged else 4
+        if buf >= 64 << 20 and default_config(k=k).probe == "stream":
+            streams = 2 if paged else (4 if read_len else 6)
         return default_config(
             k=k,
             buf=buf,

@@ -153,6 +153,34 @@ def test_sharded_stream_probe_matches_oracle():
     np.testing.assert_array_equal(mapper_rc.node_counts(), expect_rc)
 
 
+def test_sharded_ragged_multistream_matches_oracle():
+    """streams=3 on the sharded RAGGED stream step (read_len == 0): each
+    shard sorts its query stream as 3 independent segments
+    (stream_probe.mix_pad_segments) — counts stay oracle-exact across
+    shard-local bucket ranges."""
+    rng = np.random.default_rng(78)
+    k = 9
+    reads, arrays, expect = _setup(rng, k, n_reads=100)
+    unique = np.unique(arrays.kmers)
+    table = layout.build_table(unique, n_buckets=2 * layout.CHAIN_BLOCK)
+    slots = layout.query_table(table, arrays.kmers)
+    tpu = ki.TpuKmerIndex(
+        table=table,
+        entry_slot=slots.astype(np.int32),
+        entry_node=arrays.nodes,
+        entry_frequency=arrays.frequencies,
+        max_node_id=arrays.max_node_id(),
+        n_unique=len(unique),
+    )
+    mesh = make_mesh(n_devices=4, index_parallel=2)
+    config = MapperConfig(
+        k=k, buf=1024, max_reads=64, probe="stream", interpret=True, streams=3
+    )
+    mapper = ShardedKmerMapper(tpu, config, mesh)
+    _run(mapper, reads, config)
+    np.testing.assert_array_equal(mapper.node_counts(), expect)
+
+
 def test_sharded_save_load_state_round_trip(tmp_path):
     """Checkpoint mid-run on one mesh, resume on a fresh mapper: final counts
     must equal the uninterrupted run (multi-chip resume parity with

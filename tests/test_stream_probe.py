@@ -225,6 +225,62 @@ def test_chunk_step_group_config_matches_oracle():
     )
 
 
+@pytest.mark.parametrize("streams", [2, 3, 4])
+def test_stream_probe_multistream_matches_oracle(streams):
+    """streams > 1 on UNSORTED queries (the ragged-path / map_hashes layout):
+    the array splits into S independently sorted segments served by
+    multi-stream kernel tiles — counts must stay oracle-exact, including
+    invalid masking, chained tables, and per-block round bounds."""
+    rng = np.random.default_rng(31)
+    keys = np.unique(rng.integers(0, 1 << 62, 6000, dtype=np.uint64))
+    n_buckets = layout._next_pow2(int(np.ceil(len(keys) / layout.BUCKET_KEYS / 0.9)))
+    table = layout.build_table(keys, n_buckets=n_buckets)
+    assert table.max_probe > 1
+    # odd length so segment splits are uneven; heavy duplicates in one segment
+    queries = np.concatenate(
+        [
+            rng.choice(keys, 3000),
+            np.full(1200, keys[7], np.uint64),
+            rng.integers(0, 1 << 62, 1501, dtype=np.uint64),
+        ]
+    )
+    valid = rng.random(len(queries)) < 0.85
+    np.testing.assert_array_equal(
+        _run_stream(
+            table, queries, valid, cap=256, streams=streams,
+            block_probe=table.block_max_probe(),
+        ),
+        _expect(table, queries, valid),
+    )
+
+
+def test_chunk_step_ragged_multistream_matches_oracle():
+    """MapperConfig.streams > 1 on the RAGGED step (read_len == 0): same
+    counts as the oracle and as the single-stream step."""
+    rng = np.random.default_rng(33)
+    k = 9
+    reads = ["".join(rng.choice(list("ACGT"), rng.integers(6, 50))) for _ in range(80)]
+    read_codes = [oracle.encode_string(r) for r in reads]
+    fwd = oracle.kmer_hashes_ragged(
+        np.concatenate(read_codes), np.array([len(r) for r in reads]), k
+    )
+    entry_kmers = np.concatenate(
+        [rng.choice(fwd, 150), rng.integers(0, 4**k, 60, dtype=np.uint64)]
+    )
+    nodes = rng.integers(0, 70, len(entry_kmers)).astype(np.int32)
+    arrays = oracle.build_kmer_index(entry_kmers, nodes, 997)
+    tpu = ki.TpuKmerIndex.from_arrays(arrays)
+
+    config = MapperConfig(
+        k=k, buf=8192, max_reads=256, probe="stream", interpret=True, streams=3
+    )
+    mapper = KmerMapper(tpu, config)
+    mapper.map_chunk(*_pack_reads(reads, config))
+    np.testing.assert_array_equal(
+        mapper.node_counts(), oracle.map_kmers_to_index(arrays, fwd)
+    )
+
+
 def test_block_max_probe_and_chain_skip():
     """Per-block probe limits: chain-free blocks skip extra rounds; chained
     blocks still resolve exactly."""
