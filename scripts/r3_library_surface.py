@@ -7,7 +7,10 @@ path) against a 4M-unique index, plus the TpuCounter count/get_node_counts
 cycle. Round-2 verdict: this path's cap was mis-sized and never benchmarked.
 
 Usage: python scripts/r3_library_surface.py [BATCH_LOG2=23]
+Env: SKIP_CALL_SURFACE=1 (device-only: big batches ship 100s of MB per call
+over the ~50 MB/s axon tunnel), N_DEV (device-resident distinct batches, 8).
 """
+import os
 import sys
 import time
 
@@ -44,29 +47,30 @@ def main():
         for _ in range(4)
     ]
 
-    t = time.perf_counter()
-    out = compat.map_kmers_to_graph_index(index, max_node_id, batches[0])
-    log(f"first call (compile): {time.perf_counter()-t:.1f}s, hits {out.sum()}")
-
     best = 0.0
-    for trial in range(3):
+    if not os.environ.get("SKIP_CALL_SURFACE"):
+        t = time.perf_counter()
+        out = compat.map_kmers_to_graph_index(index, max_node_id, batches[0])
+        log(f"first call (compile): {time.perf_counter()-t:.1f}s, hits {out.sum()}")
+
+        for trial in range(3):
+            t = time.perf_counter()
+            for b in batches:
+                out = compat.map_kmers_to_graph_index(index, max_node_id, b)
+            dt = time.perf_counter() - t
+            best = max(best, 4 * batch / dt)
+            log(f"trial {trial}: {4 * batch / dt / 1e6:.1f} Mkmers/s (incl. host->device + finalize)")
+
+        # TpuCounter cycle (gpu_counter parity surface)
+        counter = compat.TpuCounter.from_kmers_and_nodes(keys, nodes, 31)
+        counter.initialize_cuda(0)
+        counter.count(batches[0])
         t = time.perf_counter()
         for b in batches:
-            out = compat.map_kmers_to_graph_index(index, max_node_id, b)
+            counter.count(b)
+        nc = counter.get_node_counts(min_nodes=max_node_id)
         dt = time.perf_counter() - t
-        best = max(best, 4 * batch / dt)
-        log(f"trial {trial}: {4 * batch / dt / 1e6:.1f} Mkmers/s (incl. host->device + finalize)")
-
-    # TpuCounter cycle (gpu_counter parity surface)
-    counter = compat.TpuCounter.from_kmers_and_nodes(keys, nodes, 31)
-    counter.initialize_cuda(0)
-    counter.count(batches[0])
-    t = time.perf_counter()
-    for b in batches:
-        counter.count(b)
-    nc = counter.get_node_counts(min_nodes=max_node_id)
-    dt = time.perf_counter() - t
-    log(f"TpuCounter: {4 * batch / dt / 1e6:.1f} Mkmers/s incl. node finalize ({nc.sum()} hits)")
+        log(f"TpuCounter: {4 * batch / dt / 1e6:.1f} Mkmers/s incl. node finalize ({nc.sum()} hits)")
 
     # DEVICE-side library rate: the exact per-call step map_hashes compiles
     # (pre-hashed stream_probe_count, valid_frac=1 cap fit), chained over 8
@@ -82,9 +86,16 @@ def main():
 
     table = index.table
     bp = table.block_max_probe()
-    cap = auto_stream_cap(batch, table.n_buckets, valid_frac=1.0)
+    # mirror KmerMapper.map_hashes: batches past the XLA sort cliff (~2^24
+    # elements) sort as ~16Mi segments served by multi-stream kernel tiles
+    # (STREAMS env overrides, for measuring the unsegmented comparison)
+    streams = int(os.environ.get("STREAMS", 0)) or max(1, min(8, batch >> 24))
+    cap = auto_stream_cap(
+        batch // streams, table.n_buckets, valid_frac=1.0, streams=streams
+    )
+    n_dev = int(os.environ.get("N_DEV", 8))
     dev = []
-    for _ in range(8):
+    for _ in range(n_dev):
         b = np.concatenate(
             [rng.choice(keys, batch // 2),
              rng.integers(0, 1 << 62, batch // 2, dtype=np.uint64)]
@@ -98,6 +109,7 @@ def main():
             counts = stream_probe.stream_probe_count(
                 key_lo, key_hi, counts, lo, hi, valid,
                 table.seed, table.max_probe, block_probe=bp, cap=cap,
+                streams=streams,
             )
         return counts, counts[:8].sum()
 
@@ -114,7 +126,7 @@ def main():
         t = time.perf_counter()
         counts, tot = win(key_lo, key_hi, counts, dev, valid)
         _ = int(jax.device_get(tot))
-        r = 8 * batch / (time.perf_counter() - t)
+        r = n_dev * batch / (time.perf_counter() - t)
         dev_best = max(dev_best, r)
         log(f"device trial {trial}: {r/1e6:.1f} Mkmers/s")
     print(
