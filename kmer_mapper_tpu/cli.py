@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import sys
 
 import numpy as np
@@ -65,7 +66,8 @@ def run_argument_parser(args):
         required=False,
         default=16,
         type=int,
-        help="Host prefetch depth (device does the counting; kept for CLI parity)",
+        help="Parallel host framing workers for uncompressed input, capped at "
+        "the core count (the device does the counting; also sets prefetch depth)",
     )
     sub.add_argument(
         "-c",
@@ -170,6 +172,9 @@ def _cmd_map(args):
     from . import pipeline
 
     index = _resolve_index_arg(args)
+    # -t maps to parallel host framing workers, capped at the core count so
+    # the reference's default (-t 16) never over-threads a small host
+    reader_workers = max(1, min(args.n_threads, os.cpu_count() or 1))
     multi = (args.n_devices or 1) > 1 or args.index_parallel > 1
     if multi:
         node_counts = pipeline.map_file_sharded(
@@ -184,6 +189,7 @@ def _cmd_map(args):
             queue_depth=max(2, min(args.n_threads, 16)),
             strict_bases=args.strict_bases,
             profile_dir=args.profile_dir,
+            reader_workers=reader_workers,
         )
     else:
         node_counts = pipeline.map_file(
@@ -197,6 +203,7 @@ def _cmd_map(args):
             queue_depth=max(2, min(args.n_threads, 16)),
             strict_bases=args.strict_bases,
             profile_dir=args.profile_dir,
+            reader_workers=reader_workers,
         )
     if args.output_file is None:
         return node_counts

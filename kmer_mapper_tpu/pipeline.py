@@ -83,6 +83,7 @@ def map_file(
     device=None,
     strict_bases: bool = False,
     profile_dir: str | None = None,
+    reader_workers: int = 1,
 ) -> np.ndarray:
     """Map all k-mers of a FASTA/FASTQ(.gz) file against the index; returns the
     per-node hit-count vector (uint32[max_node_id+1]).
@@ -92,7 +93,9 @@ def map_file(
     behavior, SURVEY §3.4); the default encodes them as A with a warning.
     ``profile_dir`` captures a ``jax.profiler`` device trace of the mapping
     loop (one step annotation per chunk) viewable in TensorBoard/Perfetto —
-    the structured upgrade of the reference's DEBUG perf_counter spans."""
+    the structured upgrade of the reference's DEBUG perf_counter spans.
+    ``reader_workers`` frames uncompressed input with that many parallel
+    host workers (the reference's ``-t``; see ``io/parallel_reader.py``)."""
     t_start = time.perf_counter()
     index = load_index(index)
     mapper, packed = make_mapper_and_chunks(
@@ -103,6 +106,7 @@ def map_file(
         map_reverse_complements=map_reverse_complements,
         accumulate=accumulate,
         device=device,
+        reader_workers=reader_workers,
     )
 
     n_bytes = os.stat(reads_path).st_size
@@ -184,6 +188,7 @@ def make_mapper_and_chunks(
     map_reverse_complements: bool,
     accumulate: str,
     device=None,
+    reader_workers: int = 1,
 ) -> tuple[KmerMapper, Iterable]:
     """Build the device mapper plus the packed host chunk iterator.
 
@@ -228,7 +233,9 @@ def make_mapper_and_chunks(
             read_len=read_len,
             streams=streams,
         )
-    chunks = iter(packed_chunk_iterator(reads_path, make_config(0), chunk_size))
+    chunks = iter(
+        packed_chunk_iterator(reads_path, make_config(0), chunk_size, reader_workers)
+    )
     first = next(chunks, None)
     mapper = KmerMapper(index, make_config(_detect_read_len(first, k)), device=device)
     if first is None:
@@ -266,20 +273,51 @@ def _strided_chunks(packed_iter, config: MapperConfig):
         yield packed, lengths, n_bases, n_reads, n_invalid, strided
 
 
-def packed_chunk_iterator(reads_path: str, config: MapperConfig, chunk_size: int):
+def packed_chunk_iterator(
+    reads_path: str, config: MapperConfig, chunk_size: int, reader_workers: int = 1
+):
     """Framed + packed device buffers for a reads file: the native C++ loader
     when available (see ``io/native.py``), else the numpy framer. Both are
-    bit-identical."""
+    bit-identical.
+
+    ``reader_workers > 1`` frames an uncompressed file as that many
+    byte-region workers in parallel (``io/parallel_reader.py``) — the host
+    analog of the reference's ``-t`` process pool. Chunk boundaries then
+    differ from the sequential reader's (each region packs greedily from its
+    own record-aligned start) but every buffer maps independently and counts
+    are additive, so results are identical. Gzipped inputs stay sequential
+    (not seekable; BGZF decode is already multi-core)."""
     from .io import native as native_mod
 
-    if native_mod.available():
-        stream = readers.open_bytes(reads_path)
-        fmt = readers.detect_format(reads_path)
-        return native_mod.pack_stream_native(
-            stream, fmt, config.buf, config.max_reads, config.k, block_bytes=chunk_size
+    fmt = readers.detect_format(reads_path)
+
+    def stream_iter(stream):
+        if native_mod.available():
+            yield from native_mod.pack_stream_native(
+                stream, fmt, config.buf, config.max_reads, config.k,
+                block_bytes=chunk_size,
+            )
+            return
+        try:
+            chunks = readers.read_chunks(stream, fmt=fmt, min_chunk_size=chunk_size)
+            yield from readers.pack_for_device(
+                chunks, config.buf, config.max_reads, config.k
+            )
+        finally:
+            stream.close()
+
+    if reader_workers > 1 and not str(reads_path).endswith(".gz"):
+        from .io import parallel_reader
+
+        return parallel_reader.parallel_packed_iterator(
+            reads_path,
+            fmt,
+            lambda region: stream_iter(
+                parallel_reader.RangeReader(reads_path, *region)
+            ),
+            reader_workers,
         )
-    chunks = readers.read_chunks(reads_path, min_chunk_size=chunk_size)
-    return readers.pack_for_device(chunks, config.buf, config.max_reads, config.k)
+    return stream_iter(readers.open_bytes(reads_path))
 
 
 def map_file_sharded(
@@ -294,12 +332,15 @@ def map_file_sharded(
     queue_depth: int = 4,
     strict_bases: bool = False,
     profile_dir: str | None = None,
+    reader_workers: int = 1,
 ) -> np.ndarray:
     """Multi-device mapping over a (data, index) mesh: chunks fan out over the
     data axis, the table shards over the index axis (for multi-GB indexes),
     counts are combined on device at finalization. Single-host multi-chip; for
     multi-host, run one pipeline per host on its own file shard and sum the
-    node-count vectors. ``strict_bases``/``profile_dir`` as in ``map_file``."""
+    node-count vectors. ``strict_bases``/``profile_dir``/``reader_workers``
+    as in ``map_file`` — multi-chip feeds are exactly where one framing core
+    (~485 Mkmers/s worth of bases) stops being enough."""
     import contextlib
 
     from .models.mapper import default_config
@@ -326,7 +367,9 @@ def map_file_sharded(
             streams=streams,
         )
     config = make_config(0)
-    packed = iter(packed_chunk_iterator(reads_path, config, chunk_size))
+    packed = iter(
+        packed_chunk_iterator(reads_path, config, chunk_size, reader_workers)
+    )
     # same uniform-read-length detection as map_file; batches that break
     # uniformity later take the sharded mapper's ragged twin step
     first = next(packed, None)
