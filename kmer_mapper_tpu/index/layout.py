@@ -174,6 +174,8 @@ def build_table(
 def _try_build(keys: np.ndarray, n_buckets: int, seed: int,
                max_probe_limit: int = MAX_PROBE_LIMIT):
     n = len(keys)
+    if max_probe_limit < 1:
+        return None
     lo, hi = feistel_mix(*split_u64(keys), seed=seed)
     if n and np.any((lo == EMPTY) & (hi == EMPTY)):
         return "sentinel"  # mixed key equals the empty-slot sentinel: reseed
@@ -184,8 +186,38 @@ def _try_build(keys: np.ndarray, n_buckets: int, seed: int,
     filled = np.zeros(n_buckets, dtype=np.int64)
     slots = np.empty(n, dtype=np.int64)
 
-    pending = np.arange(n, dtype=np.int64)
-    probe = 0
+    # Round 1 handles ~all keys (later rounds only place chain spill, a few
+    # permille at the default load), so it gets a table-is-empty fast path:
+    # int32 radix argsort (bucket ids are < 2^31; 2.5x the int64 sort),
+    # run-start ranks via one maximum.accumulate instead of a bisection, a
+    # scalar capacity test (every bucket has all BUCKET_KEYS slots free), and
+    # the filled[] update as per-run minimums instead of np.add.at (which is
+    # ~0.7 us/element). Slot assignment is BIT-IDENTICAL to the general
+    # branch below (same stable order); tests pin the two against each other.
+    if n:
+        order = np.argsort(b.astype(np.int32), kind="stable")
+        sb = b[order]
+        idx = np.arange(n, dtype=np.int64)
+        is_start = np.empty(n, dtype=bool)
+        is_start[0] = True
+        np.not_equal(sb[1:], sb[:-1], out=is_start[1:])
+        rank = idx - np.maximum.accumulate(np.where(is_start, idx, 0))
+        place = rank < BUCKET_KEYS
+        flat = sb[place] * BUCKET_KEYS + rank[place]
+        p_placed = order[place]
+        key_lo.reshape(-1)[flat] = lo[p_placed]
+        key_hi.reshape(-1)[flat] = hi[p_placed]
+        slots[p_placed] = flat
+        starts = np.flatnonzero(is_start)
+        run_len = np.diff(np.append(starts, n))
+        filled[sb[starts]] = np.minimum(run_len, BUCKET_KEYS)
+        pending = order[~place]
+        if len(pending):
+            b[pending] = chain_next(b[pending], 1, n_buckets)
+    else:
+        pending = np.arange(0, dtype=np.int64)
+
+    probe = 1 if len(pending) else 0
     while len(pending):
         if probe >= max_probe_limit:
             return None

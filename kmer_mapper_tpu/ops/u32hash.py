@@ -33,6 +33,19 @@ _FEISTEL_ROUNDS = (0x9E3779B9, 0x85EBCA6B, 0xC2B2AE35)
 def fmix32(x, xp=np):
     """murmur3 finalizer; ``x`` must be a uint32 array of the given namespace."""
     u = xp.uint32
+    if xp is np and isinstance(x, np.ndarray) and x.size > 1024:
+        # allocation-lean host path (same arithmetic bit-for-bit): the naive
+        # expression chain allocates 5 full temporaries, which dominates the
+        # index build's mix stage at tens of millions of keys
+        y = x >> np.uint32(16)
+        np.bitwise_xor(x, y, out=y)
+        np.multiply(y, np.uint32(_C1), out=y)
+        t = y >> np.uint32(13)
+        np.bitwise_xor(y, t, out=t)
+        np.multiply(t, np.uint32(_C2), out=t)
+        np.right_shift(t, np.uint32(16), out=y)
+        np.bitwise_xor(t, y, out=y)
+        return y
     x = x ^ (x >> u(16))
     x = x * u(_C1)
     x = x ^ (x >> u(13))

@@ -330,3 +330,79 @@ def test_tpuidx_rejects_out_of_range_max_probe(tmp_path):
             9,
             interpret=True,
         )
+
+
+def _try_build_reference(keys, n_buckets, seed, max_probe_limit=layout.MAX_PROBE_LIMIT):
+    """The pre-optimization formulation of layout._try_build (uniform
+    per-round bisection + np.add.at) — kept here as the bit-identity oracle
+    for the vectorized first-round fast path."""
+    from kmer_mapper_tpu.ops.u32hash import bucket_from_mlo, feistel_mix, split_u64
+
+    n = len(keys)
+    lo, hi = feistel_mix(*split_u64(keys), seed=seed)
+    if n and np.any((lo == layout.EMPTY) & (hi == layout.EMPTY)):
+        return "sentinel"
+    b = bucket_from_mlo(lo, n_buckets).astype(np.int64)
+    key_lo = np.full((n_buckets, layout.BUCKET_KEYS), layout.EMPTY, dtype=np.uint32)
+    key_hi = np.full((n_buckets, layout.BUCKET_KEYS), layout.EMPTY, dtype=np.uint32)
+    filled = np.zeros(n_buckets, dtype=np.int64)
+    slots = np.empty(n, dtype=np.int64)
+    pending = np.arange(n, dtype=np.int64)
+    probe = 0
+    while len(pending):
+        if probe >= max_probe_limit:
+            return None
+        order = np.argsort(b[pending], kind="stable")
+        p = pending[order]
+        sb = b[p]
+        first = np.searchsorted(sb, sb, side="left")
+        rank = np.arange(len(p), dtype=np.int64) - first
+        avail = layout.BUCKET_KEYS - filled[sb]
+        place = rank < avail
+        pb, pr = sb[place], (filled[sb] + rank)[place]
+        key_lo[pb, pr] = lo[p[place]]
+        key_hi[pb, pr] = hi[p[place]]
+        slots[p[place]] = pb * layout.BUCKET_KEYS + pr
+        np.add.at(filled, pb, 1)
+        pending = p[~place]
+        if len(pending):
+            b[pending] = layout.chain_next(b[pending], 1, n_buckets)
+            probe += 1
+    return layout.TableArrays(
+        key_lo=key_lo, key_hi=key_hi, n_buckets=n_buckets, max_probe=probe + 1,
+        seed=seed, build_slots=slots,
+    )
+
+
+@pytest.mark.parametrize(
+    "n,n_buckets",
+    [
+        (5000, None),  # default load, spill rare
+        (4096, 512),   # ~100% load: deep chains, multi-round general branch
+        (300, 4),      # smaller than one chain block: whole-table wrap
+        (0, 8),        # empty
+        (1, 4),
+    ],
+)
+def test_try_build_fast_path_bit_identical(n, n_buckets):
+    """The round-1 fast path (int32 radix sort + run ranks + per-run filled
+    update) assigns every slot identically to the reference formulation."""
+    rng = np.random.default_rng(n + 7)
+    keys = np.unique(rng.integers(0, 1 << 62, n, dtype=np.uint64)) if n else (
+        np.zeros(0, dtype=np.uint64)
+    )
+    if n_buckets is None:
+        n_buckets = layout._next_pow2(
+            int(np.ceil(len(keys) / (layout.BUCKET_KEYS * layout.DEFAULT_MAX_LOAD)) or 1)
+        )
+    for limit in (layout.MAX_PROBE_LIMIT, 2, 1):
+        got = layout._try_build(keys, n_buckets, seed=0, max_probe_limit=limit)
+        want = _try_build_reference(keys, n_buckets, seed=0, max_probe_limit=limit)
+        if want is None or want == "sentinel":
+            assert got == want
+            continue
+        np.testing.assert_array_equal(got.key_lo, want.key_lo)
+        np.testing.assert_array_equal(got.key_hi, want.key_hi)
+        np.testing.assert_array_equal(got.build_slots, want.build_slots)
+        assert got.max_probe == want.max_probe
+        assert got.n_buckets == want.n_buckets
