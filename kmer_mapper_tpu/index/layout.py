@@ -91,16 +91,16 @@ class TableArrays:
         (each key's distance from its home bucket)."""
         if getattr(self, "_block_probe", None) is None:
             block = min(CHAIN_BLOCK, self.n_buckets)
-            lo, hi = self.key_words()
-            occupied = ~((lo == EMPTY) & (hi == EMPTY))
-            slot_bucket = np.arange(self.n_slots, dtype=np.int64) // BUCKET_KEYS
-            home = bucket_from_mlo(lo, self.n_buckets).astype(np.int64)
-            dist = (slot_bucket - home) & (block - 1)
-            dist = np.where(occupied, dist, 0)
+            # 2-D int32 formulation (the 1-D int64 original cost ~6 s at 33M
+            # slots): per (bucket, lane), distance of the stored key from its
+            # home bucket, wrapped inside the chain block; empty slots 0
+            home = bucket_from_mlo(self.key_lo, self.n_buckets).astype(np.int32)
+            bidx = np.arange(self.n_buckets, dtype=np.int32)[:, None]
+            dist = (bidx - home) & np.int32(block - 1)
+            empty = (self.key_lo == EMPTY) & (self.key_hi == EMPTY)
+            dist[empty] = 0
             n_blocks = self.n_buckets // block
-            per_block = np.maximum.reduceat(
-                dist, np.arange(n_blocks) * block * BUCKET_KEYS
-            )
+            per_block = dist.reshape(n_blocks, block * BUCKET_KEYS).max(axis=1)
             self._block_probe = (per_block + 1).astype(np.int32)
         return self._block_probe
 
