@@ -44,6 +44,9 @@ from typing import Iterator
 logger = logging.getLogger(__name__)
 
 _PROBE = 1 << 16
+#: give up splitting at a target offset after scanning this many bytes
+#: without a provable record start (region merges into the previous one)
+_PROBE_BOUND = 1 << 26
 
 
 def _fastq_record_at(lines: list[bytes], i: int) -> bool:
@@ -120,13 +123,18 @@ def split_regions(
                     break  # no record start before EOF: tail joins the prior region
                 probe += block
                 found = _find_record_start(probe, fmt, at_file_start=False)
-                # unprovable FASTQ tail candidates need more bytes; bound the
-                # probe so a pathological file cannot buffer unboundedly
-                if found is None and len(probe) > (1 << 26):
-                    raise ValueError(
-                        f"no record boundary within 64 MiB after offset {target} "
-                        f"of {path}; use --n-threads 1"
+                # No record start within the probe bound — e.g. the target
+                # landed inside a genome-scale FASTA record (a chromosome can
+                # be hundreds of MB) or a pathological FASTQ. Skip this
+                # boundary: the region merges into the previous worker's
+                # (correctness unaffected, parallelism degrades only as much
+                # as the record sizes force), and later targets still split.
+                if found is None and len(probe) > _PROBE_BOUND:
+                    logger.debug(
+                        "no record boundary within 64 MiB after offset %d; "
+                        "merging region", target,
                     )
+                    break
             if found is not None and target + found > starts[-1]:
                 starts.append(target + found)
     starts.append(size)

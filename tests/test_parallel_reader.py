@@ -185,3 +185,31 @@ def test_worker_error_propagates(tmp_path, monkeypatch):
             ki.TpuKmerIndex.from_arrays(arrays), str(path), k=k, progress=False,
             reader_workers=4,
         )
+
+
+def test_giant_record_merges_regions(tmp_path, monkeypatch):
+    """A record far larger than the probe bound (a genome-scale FASTA
+    chromosome) must not break the split: targets landing inside it merge
+    into the previous region and every base still maps exactly once."""
+    monkeypatch.setattr(parallel_reader, "_PROBE", 256)
+    monkeypatch.setattr(parallel_reader, "_PROBE_BOUND", 1024)
+    rng = np.random.default_rng(55)
+    small = _reads(rng, 30, lo=40, hi=60)
+    giant = "".join(rng.choice(list("ACGT"), 20_000))
+    reads = small[:10] + [giant] + small[10:]
+    path = tmp_path / "genome.fa"
+    path.write_text("".join(f">r{i}\n{s}\n" for i, s in enumerate(reads)))
+    regions = parallel_reader.split_regions(str(path), "fasta", 8, min_region=512)
+    assert regions[-1][1] == __import__("os").path.getsize(path)
+    got = []
+    for r in regions:
+        got += _region_reads(str(path), "fasta", r)
+    assert got == reads
+    # end-to-end: counts equal oracle (long read split with k-1 overlap)
+    k = 9
+    arrays = _index(rng, reads, k)
+    par = pipeline.map_file(
+        ki.TpuKmerIndex.from_arrays(arrays), str(path), k=k, progress=False,
+        reader_workers=8, chunk_size=1 << 12,
+    )
+    np.testing.assert_array_equal(par, _oracle_counts(arrays, reads, k))
