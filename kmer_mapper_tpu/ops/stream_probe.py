@@ -200,6 +200,31 @@ def plan_schedule(
     )
 
 
+def max_feasible_streams(
+    n_local: int, coarse: int = 0, group: int = 0, chain_block: int | None = None
+) -> int:
+    """Largest stream count whose schedule base arrays fit the SMEM
+    scalar-prefetch budget — mirrors ``plan_schedule``'s ``base_len`` formula
+    exactly (same group/coarse resolution), so the pipeline can clamp its
+    stream policy instead of tracing into the ValueError (e.g. S=6 is
+    unrepresentable at 32768 chain blocks: 6*(32768+1) words of per-group
+    stream bases alone approach the 200K-word budget)."""
+    bpb = min(CHAIN_BLOCK, n_local) if chain_block is None else chain_block
+    n_blocks = max(1, n_local // bpb)
+    g = group or DEFAULT_GROUP
+    g = max(1, min(g, n_blocks))
+    while n_blocks % g:
+        g //= 2
+    n_groups = n_blocks // g
+    c = coarse or DEFAULT_COARSE
+    c = max(1, min(c // g, n_groups))
+    while n_groups % c:
+        c //= 2
+    return max(
+        1, (SMEM_I32_BUDGET - 2 - n_groups - n_groups // c) // (n_groups + 1)
+    )
+
+
 def sort_queries(q_lo, q_hi, valid, n_buckets: int, seed: int, pad_to: int = 0):
     """(sorted_m_lo, sorted_m_hi): queries bijectively mixed, sorted by m_lo.
 

@@ -211,19 +211,6 @@ def make_mapper_and_chunks(
         )
 
     def make_config(read_len):
-        # stream probe: the 64 Mi chunk is sorted as independent ~2^24-sized
-        # segments served by fused multi-stream kernel tiles — XLA's sort is
-        # fastest below ~2^24 elements while kernel tiles per chunk are
-        # ~constant. v5e sweep optima: fixed-length (plane) S=4 (371 vs 340
-        # Mk/s at the best single-stream config; ~53.8M windows/chunk);
-        # ragged S=6 (227.4 vs 219.9/205.1/178.1 at S=4/8/1 — all 67M buf
-        # slots are window candidates, so more segments reach the sweet
-        # spot). Large paged tables take S=2 (246.9 vs 237.3/230.5 at
-        # S=1/S=4 on a 4.19M-bucket table: their per-block windows are thin,
-        # so S=4's tighter cap inflates the tile count).
-        streams = 1
-        if buf >= 64 << 20 and default_config(k=k).probe == "stream":
-            streams = 2 if paged else (4 if read_len else 6)
         return default_config(
             k=k,
             buf=buf,
@@ -231,7 +218,7 @@ def make_mapper_and_chunks(
             revcomp=map_reverse_complements,
             accumulate=accumulate,
             read_len=read_len,
-            streams=streams,
+            streams=_pick_streams(read_len, paged, buf, k, index.table.n_buckets),
         )
     chunks = iter(
         packed_chunk_iterator(reads_path, make_config(0), chunk_size, reader_workers)
@@ -354,17 +341,15 @@ def map_file_sharded(
 
     def make_config(read_len):
         # same multi-stream default as map_file (per-shard schedules decide
-        # paged-ness: shards of a big table often fit SMEM again)
-        streams = 1
-        if buf >= 64 << 20 and default_config(k=k).probe == "stream":
-            streams = 2 if paged else (4 if read_len else 6)
+        # paged-ness and feasibility: shards of a big table often fit SMEM)
+        n_local = max(128, index.table.n_buckets // max(1, index_parallel))
         return default_config(
             k=k,
             buf=buf,
             max_reads=max(1024, buf // 32),
             revcomp=map_reverse_complements,
             read_len=read_len,
-            streams=streams,
+            streams=_pick_streams(read_len, paged, buf, k, n_local),
         )
     config = make_config(0)
     packed = iter(
@@ -427,6 +412,32 @@ def map_sequences(
     ):
         mapper.map_chunk(packed, lengths, n_bases, n_invalid)
     return mapper.node_counts(max_frequency=max_frequency)
+
+
+def _pick_streams(read_len: int, paged: bool, buf: int, k: int, n_local: int) -> int:
+    """Production multi-stream default (v5e sweeps, BASELINE.md): the 64 Mi
+    chunk sorts as independent ~2^24-sized segments served by fused
+    multi-stream kernel tiles — XLA's sort is fastest below ~2^24 elements
+    while kernel tiles per chunk are ~constant.
+
+    * fixed-read-length (word-plane) chunks: S=4 on SMEM-schedule tables
+      (371 vs 340 Mk/s single-stream; ~53.8M windows/chunk), S=2 on paged
+      tables (246.9 vs 237.3/230.5 at S=1/S=4 — their thin per-block windows
+      make S=4's tighter cap inflate the tile count);
+    * ragged chunks: S=6 on SMEM-schedule tables (227.4 vs 219.9/205.1/178.1
+      at S=4/8/1 — all 67M buf slots are window candidates, so more segments
+      reach the sort sweet spot), S=4 on paged tables (163.9 vs 147.1/157.9
+      at S=2/S=1 on the 12.8M-key table; S=6 is SMEM-infeasible there);
+
+    clamped by ``stream_probe.max_feasible_streams`` so a large table can
+    never pick a stream count whose schedule base arrays overflow SMEM
+    (``plan_schedule`` would raise at trace time)."""
+    if buf < 64 << 20 or default_config(k=k).probe != "stream":
+        return 1
+    from .ops import stream_probe
+
+    desired = (2 if paged else 4) if read_len else (4 if paged else 6)
+    return max(1, min(desired, stream_probe.max_feasible_streams(n_local)))
 
 
 def _detect_read_len(first_chunk, k: int) -> int:

@@ -390,15 +390,17 @@ def test_buf_floor_and_paged_flag(monkeypatch):
     assert pipeline._buf_floor(None) == (64 << 20, False)
 
 
-def test_make_config_streams_policy(monkeypatch, tmp_path):
-    """The pipeline's multi-stream default: streams=4 only for
-    fixed-read-length stream-probe runs on SMEM-schedule tables; paged
-    tables take streams=2 (fused-tile measurements on a 4.19M-bucket table:
-    246.9 at S=2 vs 237.3/230.5 at S=1/S=4); ragged files stay
-    single-stream."""
+def test_make_config_streams_policy(monkeypatch):
+    """The pipeline's multi-stream default (the REAL `_pick_streams`):
+    plane S=4 / ragged S=6 on SMEM-schedule tables; plane S=2 / ragged S=4
+    on paged tables; everything clamped by the schedule's SMEM feasibility
+    (v5e measurements in BASELINE.md)."""
     from types import SimpleNamespace
 
     import jax
+
+    from kmer_mapper_tpu.ops import stream_probe
+    import kmer_mapper_tpu.pipeline as pl
 
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
 
@@ -411,17 +413,38 @@ def test_make_config_streams_policy(monkeypatch, tmp_path):
         block_max_probe=lambda: np.full((4 << 20) // 128, 2, np.int32),
     )
     big = SimpleNamespace(table=big_table)
+    assert pl._buf_floor(small, 31) == (64 << 20, False)
+    assert pl._buf_floor(big, 31) == (64 << 20, True)
 
-    import kmer_mapper_tpu.pipeline as pl
+    buf = 64 << 20
+    small_n = small.table.n_buckets
+    big_n = big_table.n_buckets
+    assert pl._pick_streams(151, False, buf, 31, small_n) == 4
+    assert pl._pick_streams(0, False, buf, 31, small_n) == 6
+    assert pl._pick_streams(151, True, buf, 31, big_n) == 2
+    assert pl._pick_streams(0, True, buf, 31, big_n) == 4
+    # sub-floor buffers (CPU/test configs) stay single-stream
+    assert pl._pick_streams(151, False, 1 << 16, 31, small_n) == 1
 
-    def probe_config(index, read_len):
-        floor, paged = pl._buf_floor(index, 31)
-        buf = pl._round_up(min(max(2_500_000, floor), 64 << 20), 1 << 13)
-        streams = 1
-        if read_len and buf >= 64 << 20:
-            streams = 2 if paged else 4
-        return buf, paged, streams
-
-    assert probe_config(small, 151) == (64 << 20, False, 4)
-    assert probe_config(small, 0) == (64 << 20, False, 1)
-    assert probe_config(big, 151) == (64 << 20, True, 2)
+    # feasibility clamp: at 32768 chain blocks S=6 is unrepresentable
+    # (plan_schedule raises), and max_feasible_streams mirrors that boundary
+    feas = stream_probe.max_feasible_streams(big_n)
+    assert 4 <= feas < 6
+    n_q = 1 << 20
+    plan = stream_probe.plan_schedule(
+        big_n, n_q, cap=512, max_probe=5, streams=feas,
+        block_probe=np.full(big_n // 128, 2, np.int32),
+    )
+    assert not plan.use_meta
+    with pytest.raises(ValueError):
+        stream_probe.plan_schedule(
+            big_n, n_q, cap=512, max_probe=5, streams=feas + 1,
+            block_probe=np.full(big_n // 128, 2, np.int32),
+        )
+    # an even larger table degrades the RAGGED choice below 4 rather than
+    # crashing (8.4M buckets -> 65536 blocks -> at most 2 streams fit)
+    huge_n = 8 << 20
+    assert pl._pick_streams(0, True, buf, 31, huge_n) == min(
+        4, stream_probe.max_feasible_streams(huge_n)
+    )
+    assert stream_probe.max_feasible_streams(huge_n) < 4
