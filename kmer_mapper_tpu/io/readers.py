@@ -293,44 +293,27 @@ def read_chunks(
 def split_long_reads(chunk: SequenceChunk, max_len: int, k: int) -> SequenceChunk:
     """Split reads longer than ``max_len`` into segments overlapping by k-1
     bases, so the windowed k-mer set is preserved exactly. Lets whole-genome
-    FASTA records stream through the fixed-size device buffers.
-
-    Vectorized: read r yields ``1 + ceil((len_r - max_len) / step)`` segments
-    at offsets ``j * step`` (``step = max_len - k + 1``), the last one ending
-    at the read's end — identical segmentation to the per-read loop it
-    replaced (millions of long reads would crawl through Python otherwise)."""
+    FASTA records stream through the fixed-size device buffers."""
     lengths = chunk.read_lengths
     if chunk.n_reads == 0 or int(lengths.max()) <= max_len:
         return chunk
     step = max_len - (k - 1)
     assert step > 0
-    n_seg = np.where(
-        lengths <= max_len, 1, 1 + (np.maximum(lengths - max_len, 0) + step - 1) // step
-    ).astype(np.int64)
-    seg_read = np.repeat(np.arange(chunk.n_reads, dtype=np.int64), n_seg)
-    first_seg = np.cumsum(n_seg) - n_seg
-    seg_j = np.arange(len(seg_read), dtype=np.int64) - first_seg[seg_read]
-    off = seg_j * step
-    seg_len = np.minimum(max_len, lengths[seg_read] - off)
-    src = chunk.read_starts[seg_read] + off
-    ends = np.cumsum(seg_len)
-    # slab the gather: _gather_ragged builds an int64 index of the OUTPUT
-    # size, so one call on a multi-Gbase chunk would transiently allocate 8
-    # bytes per output base — bound it at ~0.5 GB per slab
-    slab = 1 << 26
-    if ends[-1] <= slab:
-        bases = _gather_ragged(chunk.bases, src, seg_len)
-    else:
-        cuts = np.searchsorted(ends, np.arange(slab, int(ends[-1]), slab), side="left")
-        pieces = []
-        lo = 0
-        for hi in list(cuts + 1) + [len(seg_len)]:
-            if hi > lo:
-                pieces.append(_gather_ragged(chunk.bases, src[lo:hi], seg_len[lo:hi]))
-            lo = hi
-        bases = np.concatenate(pieces)
-    starts = (ends - seg_len).astype(np.int64)
-    return SequenceChunk(bases=bases, read_starts=starts)
+    new_bases: list[np.ndarray] = []
+    new_lengths: list[int] = []
+    for s, ln in zip(chunk.read_starts, lengths):
+        if ln <= max_len:
+            new_bases.append(chunk.bases[s : s + ln])
+            new_lengths.append(int(ln))
+        else:
+            for off in range(0, int(ln), step):
+                seg = chunk.bases[s + off : s + min(off + max_len, int(ln))]
+                new_bases.append(seg)
+                new_lengths.append(len(seg))
+                if off + max_len >= ln:
+                    break
+    starts = np.cumsum([0] + new_lengths[:-1]).astype(np.int64)
+    return SequenceChunk(bases=np.concatenate(new_bases), read_starts=starts)
 
 
 def strided_rows(max_bases: int, read_len: int) -> int:

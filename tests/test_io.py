@@ -171,45 +171,3 @@ def test_threaded_reader_propagates_errors(tmp_path):
     with pytest.raises(Exception):
         while stream.read(4096):
             pass
-
-
-def test_split_long_reads_matches_loop_formulation():
-    """The vectorized split is segment-identical to the original per-read
-    loop across ragged mixes of short, boundary, and very long reads."""
-    from kmer_mapper_tpu.io.readers import SequenceChunk, split_long_reads
-
-    def loop_split(chunk, max_len, k):
-        lengths = chunk.read_lengths
-        step = max_len - (k - 1)
-        new_bases, new_lengths = [], []
-        for s, ln in zip(chunk.read_starts, lengths):
-            if ln <= max_len:
-                new_bases.append(chunk.bases[s : s + ln])
-                new_lengths.append(int(ln))
-            else:
-                for off in range(0, int(ln), step):
-                    seg = chunk.bases[s + off : s + min(off + max_len, int(ln))]
-                    new_bases.append(seg)
-                    new_lengths.append(len(seg))
-                    if off + max_len >= ln:
-                        break
-        starts = np.cumsum([0] + new_lengths[:-1]).astype(np.int64)
-        return SequenceChunk(bases=np.concatenate(new_bases), read_starts=starts)
-
-    rng = np.random.default_rng(9)
-    for trial, (max_len, k) in enumerate([(50, 7), (64, 31), (100, 11)]):
-        lens = np.concatenate([
-            rng.integers(k, max_len + 1, 40),          # short
-            [max_len, max_len + 1, 2 * max_len],       # boundaries
-            rng.integers(max_len + 1, 12 * max_len, 20),  # long
-        ])
-        rng.shuffle(lens)
-        bases = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), int(lens.sum()))
-        chunk = SequenceChunk(bases=bases, read_starts=np.cumsum(lens) - lens)
-        got = split_long_reads(chunk, max_len, k)
-        want = loop_split(chunk, max_len, k)
-        np.testing.assert_array_equal(got.read_starts, want.read_starts)
-        np.testing.assert_array_equal(got.bases, want.bases)
-        # short-only chunks pass through untouched (reads of 40 <= every max_len)
-        short = SequenceChunk(bases=bases[:80], read_starts=np.array([0, 40], dtype=np.int64))
-        assert split_long_reads(short, max_len, k) is short
