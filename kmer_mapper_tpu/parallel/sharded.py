@@ -24,6 +24,91 @@ from ..ops import hashing, probe, stream_probe
 from .mesh import DATA_AXIS, INDEX_AXIS
 
 
+def _probe_queries_local(
+    c,
+    key_lo,
+    key_hi,
+    q_lo,
+    q_hi,
+    q_valid,
+    *,
+    config: MapperConfig,
+    n_buckets: int,
+    nb_local: int,
+    max_probe: int,
+    seed: int,
+    chain_block: int,
+    row_offset,
+    bp_local,
+):
+    """One device's probe+count of a flat query array against its local
+    bucket range — the shared core of every sharded step (chunk, plane-
+    fallback ragged, and pre-hashed ``map_hashes`` batches)."""
+    if config.probe == "stream":
+        cap = config.stream_cap or stream_probe.DEFAULT_CAP
+        if config.streams > 1:
+            # ragged multi-stream: S independently sorted segments served
+            # by one tile schedule (same layout as the plane twin's
+            # plane_hash_mixed(segments=S))
+            m_lo, m_hi, seg_bounds = stream_probe.mix_pad_segments(
+                q_lo, q_hi, q_valid, seed, cap, config.streams
+            )
+            return stream_probe.stream_probe_count_mixed(
+                key_lo, key_hi, c, m_lo, m_hi, max_probe,
+                cap=cap, interpret=config.interpret,
+                block_probe=bp_local, seg_bounds=seg_bounds,
+                bucket_base=row_offset, chain_block=chain_block,
+                n_buckets_global=n_buckets,
+            )
+        sm_lo, sm_hi = stream_probe.sort_queries(
+            q_lo, q_hi, q_valid, n_buckets, seed, pad_to=cap
+        )
+        off = stream_probe.block_offsets(
+            sm_lo, n_buckets, chain_block, bucket_base=row_offset,
+            n_local=nb_local,
+        )
+        off = jnp.minimum(off, jnp.int32(sm_lo.shape[0] - cap))
+        return stream_probe.stream_count(
+            key_lo,
+            key_hi,
+            c,
+            sm_lo,
+            sm_hi,
+            off,
+            max_probe,
+            cap=cap,
+            interpret=config.interpret,
+            bucket_base=row_offset,
+            chain_block=chain_block,
+            block_probe=bp_local,
+            n_buckets_global=n_buckets,
+            tail_padded=True,
+        )
+    bucket, mask = probe.probe_hits(
+        key_lo,
+        key_hi,
+        q_lo,
+        q_hi,
+        max_probe,
+        seed,
+        n_buckets_global=n_buckets,
+        row_offset=row_offset,
+    )
+    return probe.ACCUMULATORS[config.accumulate](c, bucket, mask, q_valid)
+
+
+def _local_block_probe(block_probe, x, nb_local: int, chain_block: int):
+    """This index shard's slice of the per-block chain bounds (or None)."""
+    if block_probe is None:
+        return None
+    n_blocks_local = nb_local // chain_block
+    return jax.lax.dynamic_slice(
+        jnp.asarray(block_probe, dtype=jnp.int32),
+        (x * n_blocks_local,),
+        (n_blocks_local,),
+    )
+
+
 def make_sharded_step(
     mesh: Mesh,
     config: MapperConfig,
@@ -55,7 +140,6 @@ def make_sharded_step(
             f"stream probe needs chain-block-aligned shards "
             f"(nb_local={nb_local}, chain_block={chain_block}); use probe='gather'"
         )
-    accumulate = probe.ACCUMULATORS[config.accumulate]
     k, buf = config.k, config.buf
 
     def local_step(counts, key_lo, key_hi, packed, lengths, n_bases):
@@ -80,74 +164,16 @@ def make_sharded_step(
             valid = hashing.window_mask(starts, n_bases[0], k, buf)
             n_valid = jnp.sum(valid.astype(jnp.uint32))
         c = counts[0]
-
-        if config.probe == "stream":
-            n_blocks_local = nb_local // chain_block
-            if block_probe is not None:
-                bp_local = jax.lax.dynamic_slice(
-                    jnp.asarray(block_probe, dtype=jnp.int32),
-                    (x * n_blocks_local,),
-                    (n_blocks_local,),
-                )
-            else:
-                bp_local = None
-
-            cap = config.stream_cap or stream_probe.DEFAULT_CAP
-
-            def probe_and_count_stream(c, q_lo, q_hi, q_valid):
-                if config.streams > 1:
-                    # ragged multi-stream: S independently sorted segments
-                    # served by one tile schedule (same layout as the plane
-                    # twin's plane_hash_mixed(segments=S))
-                    m_lo, m_hi, seg_bounds = stream_probe.mix_pad_segments(
-                        q_lo, q_hi, q_valid, seed, cap, config.streams
-                    )
-                    return stream_probe.stream_probe_count_mixed(
-                        key_lo, key_hi, c, m_lo, m_hi, max_probe,
-                        cap=cap, interpret=config.interpret,
-                        block_probe=bp_local, seg_bounds=seg_bounds,
-                        bucket_base=row_offset, chain_block=chain_block,
-                        n_buckets_global=n_buckets,
-                    )
-                sm_lo, sm_hi = stream_probe.sort_queries(
-                    q_lo, q_hi, q_valid, n_buckets, seed, pad_to=cap
-                )
-                off = stream_probe.block_offsets(
-                    sm_lo, n_buckets, chain_block, bucket_base=row_offset,
-                    n_local=nb_local,
-                )
-                off = jnp.minimum(off, jnp.int32(sm_lo.shape[0] - cap))
-                return stream_probe.stream_count(
-                    key_lo,
-                    key_hi,
-                    c,
-                    sm_lo,
-                    sm_hi,
-                    off,
-                    max_probe,
-                    cap=cap,
-                    interpret=config.interpret,
-                    bucket_base=row_offset,
-                    chain_block=chain_block,
-                    block_probe=bp_local,
-                    n_buckets_global=n_buckets,
-                    tail_padded=True,
-                )
-
-        else:
-
-            def probe_and_count(c, q_lo, q_hi):
-                bucket, mask = probe.probe_hits(
-                    key_lo,
-                    key_hi,
-                    q_lo,
-                    q_hi,
-                    max_probe,
-                    seed,
-                    n_buckets_global=n_buckets,
-                    row_offset=row_offset,
-                )
-                return accumulate(c, bucket, mask, valid)
+        bp_local = (
+            _local_block_probe(block_probe, x, nb_local, chain_block)
+            if config.probe == "stream"
+            else None
+        )
+        kw = dict(
+            config=config, n_buckets=n_buckets, nb_local=nb_local,
+            max_probe=max_probe, seed=seed, chain_block=chain_block,
+            row_offset=row_offset, bp_local=bp_local,
+        )
 
         if config.probe == "stream":
             q_lo, q_hi, q_valid = lo, hi, valid
@@ -156,12 +182,12 @@ def make_sharded_step(
                 q_lo = jnp.concatenate([lo, rlo])
                 q_hi = jnp.concatenate([hi, rhi])
                 q_valid = jnp.concatenate([valid, valid])
-            c = probe_and_count_stream(c, q_lo, q_hi, q_valid)
+            c = _probe_queries_local(c, key_lo, key_hi, q_lo, q_hi, q_valid, **kw)
         else:
-            c = probe_and_count(c, lo, hi)
+            c = _probe_queries_local(c, key_lo, key_hi, lo, hi, valid, **kw)
             if config.revcomp:
                 rlo, rhi = hashing.revcomp_lo_hi(lo, hi, k)
-                c = probe_and_count(c, rlo, rhi)
+                c = _probe_queries_local(c, key_lo, key_hi, rlo, rhi, valid, **kw)
         return c[None], n_valid[None]
 
     step = jax.shard_map(
@@ -213,15 +239,7 @@ def make_sharded_plane_step(
     def local_step(counts, key_lo, key_hi, packed, n_reads):
         x = jax.lax.axis_index(INDEX_AXIS)
         row_offset = (x * nb_local).astype(jnp.int32)
-        n_blocks_local = nb_local // chain_block
-        if block_probe is not None:
-            bp_local = jax.lax.dynamic_slice(
-                jnp.asarray(block_probe, dtype=jnp.int32),
-                (x * n_blocks_local,),
-                (n_blocks_local,),
-            )
-        else:
-            bp_local = None
+        bp_local = _local_block_probe(block_probe, x, nb_local, chain_block)
         seg_bounds = None
         if config.streams > 1:
             m_lo, m_hi, seg_bounds = hashing.plane_hash_mixed(
@@ -260,6 +278,65 @@ def make_sharded_plane_step(
             P(INDEX_AXIS, None),
             P(DATA_AXIS, None),
             P(DATA_AXIS),
+        ),
+        out_specs=(P(DATA_AXIS, INDEX_AXIS), P(DATA_AXIS)),
+        check_vma=False,  # pallas_call outputs carry no vma annotation
+    )
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_sharded_hash_step(
+    mesh: Mesh,
+    config: MapperConfig,
+    n_buckets: int,
+    max_probe: int,
+    seed: int,
+    block_probe: "np.ndarray | None" = None,
+):
+    """Multi-device twin of the pre-hashed library surface
+    (``KmerMapper.map_hashes`` / ``mapper.pyx:19``'s call shape): query word
+    batches fan out over the data axis, each index shard counts the keys it
+    owns.
+
+    Global shapes: q_lo/q_hi uint32[D, n] + valid bool[D, n] sharded
+    (data, None); counts/key shards as in ``make_sharded_step``."""
+    n_index = mesh.shape[INDEX_AXIS]
+    assert n_buckets % n_index == 0
+    nb_local = n_buckets // n_index
+    chain_block = min(layout.CHAIN_BLOCK, n_buckets)
+    if config.probe == "stream" and nb_local % chain_block != 0:
+        raise ValueError(
+            f"stream probe needs chain-block-aligned shards "
+            f"(nb_local={nb_local}, chain_block={chain_block}); use probe='gather'"
+        )
+
+    def local_step(counts, key_lo, key_hi, q_lo, q_hi, valid):
+        x = jax.lax.axis_index(INDEX_AXIS)
+        row_offset = (x * nb_local).astype(jnp.int32)
+        bp_local = (
+            _local_block_probe(block_probe, x, nb_local, chain_block)
+            if config.probe == "stream"
+            else None
+        )
+        c = _probe_queries_local(
+            counts[0], key_lo, key_hi, q_lo[0], q_hi[0], valid[0],
+            config=config, n_buckets=n_buckets, nb_local=nb_local,
+            max_probe=max_probe, seed=seed, chain_block=chain_block,
+            row_offset=row_offset, bp_local=bp_local,
+        )
+        n_valid = jnp.sum(valid[0].astype(jnp.uint32))
+        return c[None], n_valid[None]
+
+    step = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(
+            P(DATA_AXIS, INDEX_AXIS),
+            P(INDEX_AXIS, None),
+            P(INDEX_AXIS, None),
+            P(DATA_AXIS, None),
+            P(DATA_AXIS, None),
+            P(DATA_AXIS, None),
         ),
         out_specs=(P(DATA_AXIS, INDEX_AXIS), P(DATA_AXIS)),
         check_vma=False,  # pallas_call outputs carry no vma annotation
@@ -326,6 +403,7 @@ class ShardedKmerMapper:
         )
         self._ragged_step = None  # lazy twin for batches that break read_len
         self._plane_step = None  # lazy word-plane twin for conforming batches
+        self._hash_steps: dict = {}  # per-row-size pre-hashed batch steps
         self._stats: list = []
         self._total_kmers = 0
         self.n_invalid_bases = 0
@@ -406,6 +484,64 @@ class ShardedKmerMapper:
         )
         self._stats.append(n_valid)
         self.n_invalid_bases += n_invalid
+
+    def map_hashes(self, kmers: np.ndarray) -> None:
+        """Count a batch of pre-hashed uint64 kmers — the KAGE library call
+        shape (``kmer_mapper/mapper.pyx:19``) on a SHARDED index: the batch
+        splits over the data axis, every index shard counts the keys it owns.
+        Multi-GB indexes that need ``--index-parallel`` get the same
+        pre-hashed surface as the single-chip ``KmerMapper.map_hashes``.
+
+        Batches are padded to a power of two so repeated calls reuse a few
+        compiled steps; batches past the ~2^24-element sort cliff segment
+        per data row like every other path (clamped to the per-shard
+        schedule's SMEM feasibility)."""
+        from ..ops.u32hash import split_u64
+
+        kmers = np.asarray(kmers, dtype=np.uint64)
+        n = len(kmers)
+        if n == 0:
+            return
+        lo, hi = split_u64(kmers)
+        D = self.n_data
+        npad = 1 << max(0, (max(n, D) - 1)).bit_length()
+        per = npad // D
+        step = self._hash_steps.get(per)
+        if step is None:
+            import dataclasses
+
+            table = self.index.table
+            cfg = dataclasses.replace(self.config, read_len=0)
+            if cfg.probe == "stream":
+                nb_local = table.n_buckets // self.mesh.shape[INDEX_AXIS]
+                streams = max(1, min(8, per >> 24))
+                streams = min(
+                    streams,
+                    stream_probe.max_feasible_streams(max(128, nb_local)),
+                )
+                cfg = dataclasses.replace(
+                    cfg,
+                    streams=streams,
+                    stream_cap=auto_stream_cap(
+                        per // streams, table.n_buckets,
+                        valid_frac=1.0, streams=streams,
+                    ),
+                )
+            step = self._hash_steps[per] = make_sharded_hash_step(
+                self.mesh, cfg, table.n_buckets, table.max_probe, table.seed,
+                self._block_probe if cfg.probe == "stream" else None,
+            )
+        valid = np.zeros(npad, dtype=bool)
+        valid[:n] = True
+        self.counts, n_valid = step(
+            self.counts,
+            self.key_lo,
+            self.key_hi,
+            jax.device_put(np.pad(lo, (0, npad - n)).reshape(D, per), self._spec_row),
+            jax.device_put(np.pad(hi, (0, npad - n)).reshape(D, per), self._spec_row),
+            jax.device_put(valid.reshape(D, per), self._spec_row),
+        )
+        self._stats.append(n_valid)  # [D] per-row valid counts; sums to n
 
     def _batch_is_fixed(self, lengths_batch, n_bases) -> bool:
         """Every row is whole reads of config.read_len (empty rows allowed)."""

@@ -339,3 +339,62 @@ def test_sharded_plane_revcomp():
     np.testing.assert_array_equal(
         mapper.node_counts(), oracle.map_kmers_to_index(arrays, queries)
     )
+
+
+@pytest.mark.parametrize(
+    "shape,probe",
+    [((4, 2), "gather"), ((2, 4), "stream"), ((1, 8), "stream")],
+)
+def test_sharded_map_hashes_matches_oracle(shape, probe):
+    """ShardedKmerMapper.map_hashes — the KAGE pre-hashed library surface on
+    a sharded index (batch over the data axis, each index shard counts its
+    keys): counts bit-exact vs the oracle incl. duplicates and misses."""
+    d, x = shape
+    rng = np.random.default_rng(100 * d + x + (probe == "stream"))
+    k = 11
+    reads, arrays, _ = _setup(rng, k)
+    codes = [oracle.encode_string(r) for r in reads]
+    read_kmers = oracle.kmer_hashes_ragged(
+        np.concatenate(codes), np.array([len(c) for c in codes]), k
+    )
+    # duplicates, misses, and an awkward (non-pow2, non-multiple-of-D) length
+    batch = np.concatenate(
+        [
+            rng.choice(read_kmers, 700),
+            rng.integers(0, 1 << 62, 311, dtype=np.uint64),
+        ]
+    )
+    mesh = make_mesh(n_devices=d * x, index_parallel=x)
+    kwargs = dict(probe=probe)
+    if probe == "stream":
+        kwargs.update(interpret=True, stream_cap=128)
+        # chain-block-aligned shards: one CHAIN_BLOCK per index shard
+        unique = np.unique(arrays.kmers)
+        table = layout.build_table(unique, n_buckets=x * layout.CHAIN_BLOCK)
+        slots = layout.query_table(table, arrays.kmers)
+        index = ki.TpuKmerIndex(
+            table=table,
+            entry_slot=slots.astype(np.int32),
+            entry_node=arrays.nodes,
+            entry_frequency=arrays.frequencies,
+            max_node_id=arrays.max_node_id(),
+            n_unique=len(unique),
+        )
+    else:
+        index = ki.TpuKmerIndex.from_arrays(arrays)
+    config = MapperConfig(k=k, buf=1024, max_reads=64, **kwargs)
+    mapper = ShardedKmerMapper(index, config, mesh)
+    mapper.map_hashes(batch)
+    mapper.map_hashes(batch[:37])  # second, differently-sized batch
+    got = mapper.node_counts()
+    want = oracle.map_kmers_to_index(
+        arrays, np.concatenate([batch, batch[:37]])
+    )
+    np.testing.assert_array_equal(got, want)
+    assert mapper.n_kmers_mapped == len(batch) + 37
+
+    # mixing pre-hashed batches with packed chunk batches accumulates
+    _run(mapper, reads, config)
+    got2 = mapper.node_counts()
+    want2 = want + oracle.map_kmers_to_index(arrays, read_kmers)
+    np.testing.assert_array_equal(got2, want2)
