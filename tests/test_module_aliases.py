@@ -135,3 +135,73 @@ def test_map_bnp_resolves_index_bundle(tmp_path):
     got = map_bnp(args)
     want = oracle.map_kmers_to_index(arrays, kmers, max_node_id=int(nodes.max()))
     np.testing.assert_array_equal(got, want)
+
+
+def test_map_cpu_worker_parity():
+    """`map_cpu(args_dict, index, chunk)` returns the per-chunk partial node
+    counts (reference command_line_interface.py:32-56; the chunk is passed
+    directly instead of by shm name), N's counting as A."""
+    import types
+
+    from kmer_mapper_tpu.command_line_interface import map_cpu
+    from kmer_mapper_tpu.index.kmer_index import TpuKmerIndex
+
+    rng = np.random.default_rng(11)
+    reads = ["".join(rng.choice(list("ACGT"), 35)) for _ in range(40)]
+    reads[3] = reads[3][:5] + "N" + reads[3][6:]
+    k = 7
+    subst = [r.replace("N", "A") for r in reads]
+    codes = [oracle.encode_string(r) for r in subst]
+    kmers = oracle.kmer_hashes_ragged(
+        np.concatenate(codes), np.array([len(c) for c in codes]), k
+    )
+    entries = np.unique(rng.choice(kmers, 150))
+    nodes = rng.integers(0, 40, len(entries)).astype(np.int32)
+    arrays = oracle.build_kmer_index(entries, nodes, 499)
+    want = oracle.map_kmers_to_index(arrays, kmers)
+
+    index = TpuKmerIndex.from_arrays(arrays)
+    # dict args (the reference's worker shape) and namespace args both work
+    got = map_cpu({"kmer_size": k}, index, reads)
+    np.testing.assert_array_equal(got, want)
+    got2 = map_cpu(types.SimpleNamespace(kmer_size=k), index, reads)
+    np.testing.assert_array_equal(got2, want)
+
+
+def test_map_gpu_loop_parity():
+    """`map_gpu(index, chunks, k, ...)` counts every chunk (objects with a
+    .sequence or plain lists), optionally with reverse complements, and
+    returns node counts (reference command_line_interface.py:59-79)."""
+    import types
+
+    from kmer_mapper_tpu.command_line_interface import map_gpu
+    from kmer_mapper_tpu.index.kmer_index import TpuKmerIndex
+
+    rng = np.random.default_rng(12)
+    k = 9
+    reads = ["".join(rng.choice(list("ACGT"), 50)) for _ in range(60)]
+    codes = [oracle.encode_string(r) for r in reads]
+    kmers = oracle.kmer_hashes_ragged(
+        np.concatenate(codes), np.array([len(c) for c in codes]), k
+    )
+    entries = np.unique(rng.choice(kmers, 200))
+    nodes = rng.integers(0, 50, len(entries)).astype(np.int32)
+    arrays = oracle.build_kmer_index(entries, nodes, 997)
+    index = TpuKmerIndex.from_arrays(arrays)
+
+    chunks = [
+        types.SimpleNamespace(sequence=reads[:30]),  # reference chunk shape
+        reads[30:],  # plain list also accepted
+    ]
+    got = map_gpu(index, iter(chunks), k)
+    # GPU factorization (count uniques, distribute to entries) equals the
+    # probe semantics here (tiny frequencies keep the filter inert)
+    want = oracle.map_kmers_to_index(arrays, kmers)
+    np.testing.assert_array_equal(got, want)
+
+    q_rc = np.concatenate([kmers, oracle.revcomp_hash(kmers, k)])
+    got_rc = map_gpu(
+        index, iter(chunks), k, map_reverse_complements=True
+    )
+    want_rc = oracle.map_kmers_to_index(arrays, q_rc)
+    np.testing.assert_array_equal(got_rc, want_rc)
