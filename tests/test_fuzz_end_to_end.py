@@ -60,14 +60,27 @@ def test_random_config_matches_oracle(tmp_path, trial):
     else:
         path.write_text(text)
 
-    got = pipeline.map_file(
-        ki.TpuKmerIndex.from_arrays(arrays),
-        str(path),
-        k=k,
-        chunk_size=chunk_size,
-        map_reverse_complements=revcomp,
-        progress=False,
-    )
+    # random parallel region framing (no-op for gz; tiny probe so the
+    # test-sized files actually split)
+    reader_workers = int(rng.choice([1, 3, 5]))
+    if reader_workers > 1:
+        from kmer_mapper_tpu.io import parallel_reader
+
+        monkeypatched = parallel_reader._PROBE
+        parallel_reader._PROBE = 128
+    try:
+        got = pipeline.map_file(
+            ki.TpuKmerIndex.from_arrays(arrays),
+            str(path),
+            k=k,
+            chunk_size=chunk_size,
+            map_reverse_complements=revcomp,
+            progress=False,
+            reader_workers=reader_workers,
+        )
+    finally:
+        if reader_workers > 1:
+            parallel_reader._PROBE = monkeypatched
     queries = read_kmers
     if revcomp and len(queries):
         queries = np.concatenate([queries, oracle.revcomp_hash(queries, k)])
