@@ -53,10 +53,15 @@ def _as_tpu_index(index) -> TpuKmerIndex:
 
 
 def _shared_mapper(tpu: TpuKmerIndex, k: int = 31) -> KmerMapper:
-    mapper = getattr(tpu, "_compat_mapper", None)
-    if mapper is None or mapper.config.k != k:
-        mapper = KmerMapper(tpu, MapperConfig(k=k, buf=256, max_reads=16))
-        tpu._compat_mapper = mapper
+    # keyed per k (not "the last k"): a library caller alternating k between
+    # calls must not rebuild the device table / recompile every call — the
+    # reference's call surface is k-agnostic (``mapper.pyx:19``)
+    mappers = getattr(tpu, "_compat_mappers", None)
+    if mappers is None:
+        mappers = tpu._compat_mappers = {}
+    mapper = mappers.get(k)
+    if mapper is None:
+        mapper = mappers[k] = KmerMapper(tpu, MapperConfig(k=k, buf=256, max_reads=16))
     return mapper
 
 

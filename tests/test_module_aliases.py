@@ -205,3 +205,54 @@ def test_map_gpu_loop_parity():
     )
     want_rc = oracle.map_kmers_to_index(arrays, q_rc)
     np.testing.assert_array_equal(got_rc, want_rc)
+
+
+def test_kmer_mapper_drop_in_package():
+    """The literal ``kmer_mapper`` package (VERDICT r3 next-step #2): KAGE's
+    exact imports work with ZERO edits — no package rename needed."""
+    import kmer_mapper
+    from kmer_mapper.command_line_interface import main, map_bnp, run_argument_parser
+    from kmer_mapper.encodings import ACTGTwoBitEncoding, twobit_swap
+    from kmer_mapper.gpu_counter import GpuCounter
+    from kmer_mapper.mapper import in_graph_index, map_kmers_to_graph_index
+    from kmer_mapper.util import (
+        _get_kmer_index_from_args,
+        get_kmer_hashes_from_chunk_sequence,
+        open_file,
+    )
+
+    assert kmer_mapper.IS_TPU_DROP_IN
+    assert callable(main) and callable(run_argument_parser) and callable(map_bnp)
+    assert callable(open_file) and callable(_get_kmer_index_from_args)
+    assert callable(GpuCounter.from_kmers_and_nodes)
+    assert callable(twobit_swap) and hasattr(ACTGTwoBitEncoding, "from_string")
+
+    # the re-exports are the SAME objects as the kmer_mapper_tpu bodies
+    import kmer_mapper_tpu.mapper as tpu_mapper
+
+    assert map_kmers_to_graph_index is tpu_mapper.map_kmers_to_graph_index
+    assert in_graph_index is tpu_mapper.in_graph_index
+
+    # KAGE's per-batch call works through the drop-in path end to end
+    rng = np.random.default_rng(7)
+    keys, nodes, arrays = _toy(rng)
+    got = map_kmers_to_graph_index(arrays, int(nodes.max()), keys[:40])
+    want = oracle.map_kmers_to_index(arrays, keys[:40], max_node_id=int(nodes.max()))
+    np.testing.assert_array_equal(got, want)
+    hashes = get_kmer_hashes_from_chunk_sequence(["ACGTACG"], 5)
+    np.testing.assert_array_equal(
+        hashes,
+        oracle.kmer_hashes_ragged(oracle.encode_string("ACGTACG"), np.array([7]), 5),
+    )
+
+
+def test_kmer_mapper_console_script_declared():
+    """pyproject ships the ``kmer_mapper`` console script pointing at the
+    drop-in main (reference setup.py:31-33)."""
+    import pathlib
+    import kmer_mapper
+
+    root = pathlib.Path(kmer_mapper.__file__).resolve().parents[1]
+    text = (root / "pyproject.toml").read_text()
+    assert 'kmer_mapper = "kmer_mapper.command_line_interface:main"' in text
+    assert '"kmer_mapper*"' in text  # packaged into the wheel
