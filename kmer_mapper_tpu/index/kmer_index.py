@@ -26,6 +26,7 @@ from __future__ import annotations
 import dataclasses
 import io
 import logging
+import os
 import zipfile
 
 import numpy as np
@@ -41,7 +42,13 @@ _REF_FIELDS = ("hashes_to_index", "n_kmers", "kmers", "nodes", "frequencies", "m
 def _npz_get(data, name):
     for key in (name, "_" + name):
         if key in data:
-            return data[key]
+            try:
+                return data[key]
+            except ValueError:
+                # a None attribute written by the real ``to_file`` becomes a
+                # 0-d object array, unreadable under allow_pickle=False —
+                # treat as absent (e.g. an index saved without frequencies)
+                return None
     return None
 
 
@@ -265,6 +272,11 @@ def load_index(source) -> TpuKmerIndex:
     if isinstance(source, KmerIndexArrays):
         return TpuKmerIndex.from_arrays(source)
     path = str(source)
+    # the real loader tries ``file_name + ".npz"`` first
+    # (graph_kmer_index ``CollisionFreeKmerIndex.from_file``), so KAGE configs
+    # routinely pass extensionless paths — resolve them the same way
+    if not os.path.exists(path) and os.path.exists(path + ".npz"):
+        path = path + ".npz"
     if _is_tpuidx(path):
         logger.info("Loading prebuilt TPU index %s", path)
         return TpuKmerIndex.from_file(path)
@@ -276,13 +288,15 @@ def load_index(source) -> TpuKmerIndex:
                 return TpuKmerIndex.from_counter_keys(data["counter_keys"])
     except Exception:
         pass
-    # the reference's final fallback is a pickled CounterKmerIndex
-    # (``util.py:63-66``); pickle files are not zipfiles, so sniff first
-    from .pickled import is_pickle_file, load_pickled_counter_index
+    # the reference's pickle-file forms: a pickled CounterKmerIndex
+    # (``util.py:63-66``) or a pickled IndexBundle (``util.py:51-53`` — its
+    # dependency ``shared_memory_wrapper.to_file`` writes plain pickles even
+    # when the file is *named* .npz); pickles are not zipfiles, so sniff first
+    from .pickled import is_pickle_file, load_pickled_index
 
     if is_pickle_file(path):
-        logger.info("Kmer index is a pickled counter index")
-        return load_pickled_counter_index(path)
+        logger.info("Kmer index is a pickle file (counter index or bundle)")
+        return load_pickled_index(path)
     # a bundle is a zip that is not itself a loadable .npz index
     try:
         arrays = load_reference_npz(path)

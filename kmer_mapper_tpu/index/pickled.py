@@ -130,25 +130,86 @@ def _arrays_under(root, marker: str) -> list[np.ndarray]:
     return out
 
 
-def load_pickled_counter_index(path_or_file):
-    """Load a reference pickled CounterKmerIndex -> TpuKmerIndex.
+def load_pickled_index(path_or_file):
+    """Load any reference pickle-file index form -> TpuKmerIndex.
 
-    Mirrors ``_get_kmer_index_from_args``'s pickle fallback
-    (``kmer_mapper/util.py:63-66``): the result counts unique kmers, and when
-    the pickle carries per-entry ``_kmers``/``_nodes`` arrays the node
-    conversion of ``get_node_counts()`` works too.
+    The reference's dependency ``shared_memory_wrapper.to_file`` writes plain
+    pickles (its files are conventionally *named* ``.npz`` without being zip
+    archives), and two reference paths read them:
+
+    * ``_get_kmer_index_from_args``'s fallback (``kmer_mapper/util.py:63-66``)
+      — a pickled ``CounterKmerIndex``;
+    * ``IndexBundle.from_file(path).indexes["kmer_index"]``
+      (``kmer_mapper/util.py:51-53``) — a pickled bundle object/dict whose
+      ``kmer_index`` member is a full ``KmerIndex`` or ``CounterKmerIndex``.
+
+    Both are handled: the object graph is searched for the kmer index
+    (directly, or under a ``kmer_index`` path inside a bundle), then its
+    arrays are harvested — counter ``_keys`` and/or per-entry
+    ``_kmers``/``_nodes``/``_frequencies``.
     """
-    from .kmer_index import TpuKmerIndex
-
     if hasattr(path_or_file, "read"):
         obj = ShimUnpickler(path_or_file).load()
     else:
         with open(path_or_file, "rb") as f:
             obj = ShimUnpickler(f).load()
+    if isinstance(obj, (_Stub, dict)):
+        target = _find_kmer_index_obj(obj)
+        if target is not None:
+            return _index_from_stub(target)
+    raise ValueError(f"pickle did not contain an index object: {type(obj)}")
+
+
+def _looks_like_index(obj) -> bool:
     if not isinstance(obj, _Stub):
-        raise ValueError(f"pickle did not contain an index object: {type(obj)}")
+        return False
+    d = obj.__dict__
+    return (
+        "counter" in d
+        or "_keys" in d
+        or ("_kmers" in d and "_nodes" in d)
+        or isinstance(d.get("_stub_state"), np.ndarray)
+    )
+
+
+def _find_kmer_index_obj(root):
+    """The kmer index inside a pickled object graph: the root itself if it is
+    index-shaped, else the first index-shaped subobject reached under a
+    ``kmer_index`` attribute/dict-key path (an IndexBundle carries many
+    indexes; only the kmer index is ours)."""
+    if _looks_like_index(root):
+        return root
+    for path, val in _walk(root, set()):
+        if "kmer_index" in path and _looks_like_index(val):
+            return val
+    return None
+
+
+def _index_from_stub(obj):
+    from .kmer_index import TpuKmerIndex
 
     key_arrays = _arrays_under(obj, "_keys")
+    if not key_arrays:
+        # full KmerIndex form (no counter): per-entry arrays only
+        kmers = obj.__dict__.get("_kmers")
+        nodes = obj.__dict__.get("_nodes")
+        freqs = obj.__dict__.get("_frequencies")
+        if isinstance(kmers, np.ndarray) and isinstance(nodes, np.ndarray):
+            logger.info(
+                "loaded pickled %s.%s: %d (kmer, node) entries",
+                obj._module,
+                obj._qualname,
+                len(kmers),
+            )
+            return TpuKmerIndex.from_entries(
+                kmers.astype(np.uint64),
+                np.asarray(nodes).astype(np.int64).astype(np.int32),
+                frequencies=(
+                    np.asarray(freqs).astype(np.uint16)
+                    if isinstance(freqs, np.ndarray) and len(freqs) == len(kmers)
+                    else None
+                ),
+            )
     if not key_arrays:
         raise ValueError(
             f"no counter keys found in pickled {obj._module}.{obj._qualname}"
@@ -193,3 +254,8 @@ def is_pickle_file(path) -> bool:
         return len(head) == 2 and head[0] == 0x80
     except OSError:
         return False
+
+
+# historical name (pre-round-4); the generalized loader also handles full
+# KmerIndex pickles and pickled IndexBundles
+load_pickled_counter_index = load_pickled_index
