@@ -66,6 +66,7 @@ class _Out(ctypes.Structure):
         ("next_resume", ctypes.c_int64),
         ("error", ctypes.c_int32),
         ("stopped_capacity", ctypes.c_int32),
+        ("strided", ctypes.c_int32),
     ]
 
 
@@ -102,8 +103,9 @@ def get_lib():
         for fn in (lib.kmh_pack_fastq, lib.kmh_pack_fasta):
             fn.restype = None
             fn.argtypes = [
-                ctypes.POINTER(ctypes.c_char), ctypes.c_int64, ctypes.c_int32, ctypes.c_int64,
-                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_char), ctypes.c_int64, ctypes.c_int32,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint16),
                 ctypes.POINTER(_Out),
             ]
@@ -149,22 +151,34 @@ def pack_stream_native(
     max_reads: int,
     k: int,
     block_bytes: int = 2_500_000,
-) -> Iterator[tuple[np.ndarray, np.ndarray, int, int, int]]:
+    read_len: int = 0,
+) -> Iterator[tuple]:
     """Native analog of ``readers.read_chunks`` + ``readers.pack_for_device``:
     stream of decompressed bytes -> fixed-shape packed device buffers
     (packed uint32[max_bases/16+2], lengths uint16[max_reads], n_bases,
-    n_reads, n_invalid)."""
+    n_reads, n_invalid).
+
+    ``read_len > 0`` mirrors ``pack_for_device(read_len=...)``: buffers whose
+    reads are all exactly ``read_len`` long are emitted directly in the
+    word-aligned strided layout by the C++ frame+pack pass (no separate
+    ``kmh_restride`` buffer pass), others re-frame continuously; a sixth
+    tuple element carries the ``strided`` flag. Both layouts are bit-identical
+    to the numpy packer's (tests enforce)."""
     lib = get_lib()
     assert lib is not None
     fn = lib.kmh_pack_fastq if fmt == "fastq" else lib.kmh_pack_fasta
     out_words = max_bases // 16 + 2
+    if read_len and not (k <= read_len <= min(65535, max_bases)):
+        read_len = 0  # strided layout impossible: every record would abort
     try:
-        yield from _pack_stream(stream, fn, max_bases, max_reads, k, block_bytes, out_words)
+        yield from _pack_stream(
+            stream, fn, max_bases, max_reads, k, block_bytes, out_words, read_len
+        )
     finally:
         stream.close()
 
 
-def _pack_stream(stream, fn, max_bases, max_reads, k, block_bytes, out_words):
+def _pack_stream(stream, fn, max_bases, max_reads, k, block_bytes, out_words, read_len=0):
     # A buffer is emitted only when the framer reports a capacity stop (or at
     # eof), so chunk boundaries are identical to the numpy packer's greedy
     # record accumulation. Until then the byte window keeps growing and is
@@ -186,9 +200,18 @@ def _pack_stream(stream, fn, max_bases, max_reads, k, block_bytes, out_words):
             else:
                 leftover += block
 
-    while True:
-        fill()
-        packed = np.zeros(out_words, dtype=np.uint32)
+    if read_len:
+        from ..ops.hashing import read_stride
+
+        from .readers import strided_rows
+
+        strided_words = strided_rows(max_bases, read_len) * (
+            read_stride(read_len) // 16
+        )
+
+    def call(rl: int):
+        n_words = strided_words if rl else out_words
+        packed = np.zeros(n_words, dtype=np.uint32)
         lengths = np.zeros(max_reads, dtype=np.uint16)
         out = _Out()
         # no ctypes.cast here: cast() creates a reference cycle that keeps the
@@ -199,6 +222,7 @@ def _pack_stream(stream, fn, max_bases, max_reads, k, block_bytes, out_words):
             len(leftover),
             1 if eof else 0,
             k,
+            rl,
             resume,
             max_bases,
             max_reads,
@@ -207,6 +231,17 @@ def _pack_stream(stream, fn, max_bases, max_reads, k, block_bytes, out_words):
             ctypes.byref(out),
         )
         del buf  # release the exported buffer so the bytearray can resize
+        return packed, lengths, out
+
+    while True:
+        fill()
+        # strided-first: a nonconforming record makes the C++ pass return
+        # strided=0 with nothing consumed, and the identical window re-frames
+        # continuously — same greedy chunk boundaries as the numpy packer
+        rl = read_len if resume == 0 else 0
+        packed, lengths, out = call(rl)
+        if rl and not out.strided:
+            packed, lengths, out = call(0)
         if out.error:
             raise ValueError(_ERRORS.get(out.error, f"native framer error {out.error}"))
         if not out.stopped_capacity and not eof:
@@ -220,7 +255,11 @@ def _pack_stream(stream, fn, max_bases, max_reads, k, block_bytes, out_words):
                 leftover += block
             continue
         if out.n_reads:
-            yield packed, lengths, int(out.n_bases), int(out.n_reads), int(out.n_invalid)
+            tup = (
+                packed, lengths, int(out.n_bases), int(out.n_reads),
+                int(out.n_invalid),
+            )
+            yield tup + ((bool(out.strided),) if read_len else ())
         del leftover[: out.consumed]
         resume = int(out.next_resume)
         if eof:

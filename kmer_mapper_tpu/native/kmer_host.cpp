@@ -62,6 +62,7 @@ struct Out {
   int64_t next_resume;  // >0: bases of the first unconsumed record already emitted
   int32_t error;
   int32_t stopped_capacity;  // 1 = stopped because the buffer filled
+  int32_t strided;      // 1 = buffer is in the word-aligned strided layout
 };
 
 inline int64_t strip_cr(const uint8_t* buf, int64_t s, int64_t e) {
@@ -85,14 +86,26 @@ struct Packer {
   uint32_t* words;
   uint16_t* lengths;
   int64_t max_bases, max_reads, k;
+  // read_len > 0: emit the word-aligned strided layout directly (each read at
+  // word row n_reads * stride/16, 'A'-padded to stride bases — bit-identical
+  // to readers.pack_for_device(read_len=...)/kmh_restride). n_bases keeps
+  // counting REAL bases (capacity accounting is unchanged); w_bases is the
+  // write cursor, which only diverges from n_bases in strided mode. A record
+  // that is not exactly read_len bases (or a cross-buffer resume) sets
+  // abort_strided: the caller discards this pass and re-frames the identical
+  // window continuously, so chunk boundaries match the numpy packer's.
+  int64_t read_len = 0, stride = 0;
   int64_t n_bases = 0, n_reads = 0, n_invalid = 0;
+  int64_t w_bases = 0;
+  bool abort_strided = false;
 
   int64_t cap() const { return max_bases < 65535 ? max_bases : 65535; }
 
   void push(uint8_t byte) {
     uint8_t c = kTable.code[byte];
     n_invalid += kTable.invalid[byte];
-    words[n_bases >> 4] |= (uint32_t)c << ((n_bases & 15) * 2);
+    words[w_bases >> 4] |= (uint32_t)c << ((w_bases & 15) * 2);
+    ++w_bases;
     ++n_bases;
   }
 
@@ -123,7 +136,8 @@ struct Packer {
     __m128i quad = _mm_madd_epi16(pair, _mm_set1_epi32(0x00100001));
     alignas(16) uint32_t q[4];
     _mm_store_si128((__m128i*)q, quad);
-    words[n_bases >> 4] |= q[0] | (q[1] << 8) | (q[2] << 16) | (q[3] << 24);
+    words[w_bases >> 4] |= q[0] | (q[1] << 8) | (q[2] << 16) | (q[3] << 24);
+    w_bases += 16;
     n_bases += 16;
   }
 #endif
@@ -139,18 +153,33 @@ struct Packer {
       int64_t hi = to - pos < len ? to - pos : len;
       int64_t j = lo;
 #ifdef KMH_SIMD
-      for (; (n_bases & 15) != 0 && j < hi; ++j) push(buf[sp.s[i] + j]);
+      for (; (w_bases & 15) != 0 && j < hi; ++j) push(buf[sp.s[i] + j]);
       for (; j + 16 <= hi; j += 16) push_block16(buf + sp.s[i] + j);
 #endif
       for (; j < hi; ++j) push(buf[sp.s[i] + j]);
       pos += len;
     }
     ++n_reads;
+    // strided: the next read starts at the next word-aligned row; the skipped
+    // pad bases stay 0 ('A') because the output buffer arrives zeroed
+    if (read_len) w_bases = n_reads * stride;
   }
 
   // Emit the record's segments starting at `resume` emitted-bases; returns
   // the new emitted-base count (== sp.total when the record completed).
   int64_t emit_record(const SeqSpans& sp, int64_t resume) {
+    if (read_len && (resume != 0 || sp.total != read_len)) {
+      // Nonconforming record: abort to a continuous re-frame of this window —
+      // but ONLY if the continuous pass would place (a segment of) it in THIS
+      // buffer. Otherwise it's a plain capacity stop: the all-conforming
+      // buffer ships strided and the record opens the next buffer, exactly
+      // like pack_for_device's per-buffer layout decision.
+      int64_t c0 = cap();
+      int64_t seg0 = sp.total < c0 ? sp.total : c0;
+      if (n_bases + seg0 > max_bases || n_reads + 1 > max_reads) return resume;
+      abort_strided = true;  // caller re-frames this window continuously
+      return resume;
+    }
     int64_t total = sp.total, c = cap(), step = c - (k - 1);
     if (step <= 0) step = 1;
     int64_t done = resume;
@@ -169,14 +198,29 @@ struct Packer {
 
 extern "C" {
 
+// `read_len > 0` asks for the word-aligned strided layout (every record must
+// be exactly read_len bases and `packed` must hold
+// (max_bases/read_len) * (stride/16) zeroed words, stride = read_len rounded
+// up to 16): on any nonconforming record the call returns out->strided == 0
+// with nothing consumed/emitted, and the caller retries with read_len == 0
+// on the identical window (see io/native.py).
 void kmh_pack_fastq(const uint8_t* buf, int64_t len, int32_t eof, int64_t k,
-                    int64_t resume_bases, int64_t max_bases, int64_t max_reads,
-                    uint32_t* packed, uint16_t* lengths, Out* out) {
+                    int64_t read_len, int64_t resume_bases, int64_t max_bases,
+                    int64_t max_reads, uint32_t* packed, uint16_t* lengths,
+                    Out* out) {
   Packer pk{buf, packed, lengths, max_bases, max_reads, k};
+  pk.read_len = read_len;
+  pk.stride = (read_len + 15) / 16 * 16;
   int64_t pos = 0, resume = resume_bases;
   out->error = OK;
   out->stopped_capacity = 0;
   out->next_resume = 0;
+  out->strided = read_len > 0 ? 1 : 0;
+  if (read_len > 0 && resume_bases > 0) {  // mid-record resume: not uniform
+    out->strided = 0;
+    out->consumed = 0; out->n_bases = 0; out->n_reads = 0; out->n_invalid = 0;
+    return;
+  }
   while (true) {
     int64_t ls[4], le[4], cursor = pos;
     bool complete = true;
@@ -210,6 +254,7 @@ void kmh_pack_fastq(const uint8_t* buf, int64_t len, int32_t eof, int64_t k,
     SeqSpans sp;
     sp.add(ls[1], le[1]);
     int64_t done = pk.emit_record(sp, resume);
+    if (pk.abort_strided) break;
     if (done < sp.total) {
       out->stopped_capacity = 1;
       out->next_resume = done;
@@ -218,20 +263,38 @@ void kmh_pack_fastq(const uint8_t* buf, int64_t len, int32_t eof, int64_t k,
     resume = 0;
     pos = cursor;
   }
+  if (pk.abort_strided) {
+    out->strided = 0;
+    out->stopped_capacity = 0;
+    out->error = OK;
+    out->consumed = 0; out->n_bases = 0; out->n_reads = 0; out->n_invalid = 0;
+    return;
+  }
   out->consumed = pos;
   out->n_bases = pk.n_bases;
   out->n_reads = pk.n_reads;
   out->n_invalid = pk.n_invalid;
 }
 
+// `read_len` as in kmh_pack_fastq (FASTA records may wrap across lines; the
+// strided layout only requires each record's TOTAL length == read_len).
 void kmh_pack_fasta(const uint8_t* buf, int64_t len, int32_t eof, int64_t k,
-                    int64_t resume_bases, int64_t max_bases, int64_t max_reads,
-                    uint32_t* packed, uint16_t* lengths, Out* out) {
+                    int64_t read_len, int64_t resume_bases, int64_t max_bases,
+                    int64_t max_reads, uint32_t* packed, uint16_t* lengths,
+                    Out* out) {
   Packer pk{buf, packed, lengths, max_bases, max_reads, k};
+  pk.read_len = read_len;
+  pk.stride = (read_len + 15) / 16 * 16;
   int64_t pos = 0, resume = resume_bases;
   out->error = OK;
   out->stopped_capacity = 0;
   out->next_resume = 0;
+  out->strided = read_len > 0 ? 1 : 0;
+  if (read_len > 0 && resume_bases > 0) {  // mid-record resume: not uniform
+    out->strided = 0;
+    out->consumed = 0; out->n_bases = 0; out->n_reads = 0; out->n_invalid = 0;
+    return;
+  }
   if (len > 0 && buf[0] != '>') {
     out->error = ERR_FASTA_NO_HEADER;
     out->consumed = 0; out->n_bases = 0; out->n_reads = 0; out->n_invalid = 0;
@@ -261,6 +324,7 @@ void kmh_pack_fasta(const uint8_t* buf, int64_t len, int32_t eof, int64_t k,
       rec_end = len;
     }
     int64_t done = pk.emit_record(sp, resume);
+    if (pk.abort_strided) break;
     if (done < sp.total) {
       out->stopped_capacity = 1;
       out->next_resume = done;
@@ -268,6 +332,13 @@ void kmh_pack_fasta(const uint8_t* buf, int64_t len, int32_t eof, int64_t k,
     }
     resume = 0;
     pos = rec_end;
+  }
+  if (pk.abort_strided) {
+    out->strided = 0;
+    out->stopped_capacity = 0;
+    out->error = OK;
+    out->consumed = 0; out->n_bases = 0; out->n_reads = 0; out->n_invalid = 0;
+    return;
   }
   out->consumed = pos;
   out->n_bases = pk.n_bases;

@@ -198,10 +198,12 @@ def make_mapper_and_chunks(
     kernel's per-chunk tile count is ~constant — see ``_buf_floor``). On CPU
     (tests/fallback) the buffer follows chunk_size directly.
 
-    If the first chunk consists of uniform-length reads (the Illumina case),
-    the step compiles with ``read_len`` set and conforming buffers take the
-    word-plane multi-stream fast path (``hashing.plane_hash_mixed``); later
-    non-uniform chunks take a ragged twin step with identical results."""
+    If the file's reads are uniform-length (the Illumina case — detected from
+    a peek at the first records, confirmed per buffer), the step compiles with
+    ``read_len`` set and conforming buffers arrive directly in the word-plane
+    strided layout from the frame+pack pass (native C++ or numpy — no separate
+    restride pass); non-uniform chunks take a ragged twin step with identical
+    results."""
     floor, paged = _buf_floor(index, k)
     buf = _round_up(min(max(chunk_size, floor), 64 << 20), 1 << 13)
     if paged:
@@ -220,11 +222,18 @@ def make_mapper_and_chunks(
             read_len=read_len,
             streams=_pick_streams(read_len, paged, buf, k, index.table.n_buckets),
         )
+    rl_hint = 0
+    if default_config(k=k).probe == "stream":  # only the stream path consumes
+        rl_hint = _peek_read_len(reads_path, k)  # the strided layout
     chunks = iter(
-        packed_chunk_iterator(reads_path, make_config(0), chunk_size, reader_workers)
+        packed_chunk_iterator(
+            reads_path, make_config(rl_hint), chunk_size, reader_workers
+        )
     )
     first = next(chunks, None)
-    mapper = KmerMapper(index, make_config(_detect_read_len(first, k)), device=device)
+    mapper = KmerMapper(
+        index, make_config(rl_hint or _detect_read_len(first, k)), device=device
+    )
     if first is None:
         return mapper, iter(())
     import itertools
@@ -282,13 +291,14 @@ def packed_chunk_iterator(
         if native_mod.available():
             yield from native_mod.pack_stream_native(
                 stream, fmt, config.buf, config.max_reads, config.k,
-                block_bytes=chunk_size,
+                block_bytes=chunk_size, read_len=config.read_len,
             )
             return
         try:
             chunks = readers.read_chunks(stream, fmt=fmt, min_chunk_size=chunk_size)
             yield from readers.pack_for_device(
-                chunks, config.buf, config.max_reads, config.k
+                chunks, config.buf, config.max_reads, config.k,
+                read_len=config.read_len,
             )
         finally:
             stream.close()
@@ -446,11 +456,39 @@ def _detect_read_len(first_chunk, k: int) -> int:
     (the Illumina case; see MapperConfig.read_len)."""
     if first_chunk is None:
         return 0
-    _, lengths, n_bases, n_reads, _ = first_chunk
+    _, lengths, n_bases, n_reads, _ = first_chunk[:5]
     L = int(lengths[0]) if n_reads else 0
     if L >= k and n_bases == n_reads * L and np.all(lengths[:n_reads] == L):
         return L
     return 0
+
+
+def _peek_read_len(reads_path: str, k: int, peek_bytes: int = 512 << 10) -> int:
+    """Uniform read length of the file's FIRST records (0 if ragged, empty,
+    unreadable, or shorter than k): frames the first ``peek_bytes`` of
+    (decompressed) input host-side so the packers can be asked for the
+    word-plane strided layout from buffer one — the C++ frame+pack pass then
+    emits it directly, with per-buffer conformance still re-checked (a
+    nonconforming buffer anywhere falls back to the continuous layout and the
+    mapper's ragged twin step; results are identical either way)."""
+    try:
+        stream = readers.open_bytes(reads_path)
+        try:
+            block = stream.read(peek_bytes)
+        finally:
+            stream.close()
+        fmt = readers.detect_format(reads_path, peek=block[:1])
+        framer = readers._FastaFramer() if fmt == "fasta" else readers._FastqFramer()
+        chunk, _ = framer.frame(
+            np.frombuffer(block, dtype=np.uint8), eof=len(block) < peek_bytes
+        )
+    except (OSError, ValueError):
+        return 0
+    if chunk.n_reads == 0:
+        return 0
+    lengths = chunk.read_lengths
+    L = int(lengths[0])
+    return L if L >= k and np.all(lengths == L) else 0
 
 
 def _buf_floor(

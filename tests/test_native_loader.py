@@ -147,3 +147,122 @@ def test_fastq_long_read_resume_across_buffers():
     ).encode()
     args = ("fastq", 256, 64, 21, 128)
     _assert_same(_native_path(data, *args), _numpy_path(data, *args))
+
+
+# --- strided (word-plane) layout emitted directly by the C++ pass ----------
+
+
+def _numpy_path_rl(data: bytes, fmt, max_bases, max_reads, k, block, read_len):
+    chunks = readers.read_chunks(io.BytesIO(data), fmt=fmt, min_chunk_size=block)
+    return list(
+        readers.pack_for_device(chunks, max_bases, max_reads, k, read_len=read_len)
+    )
+
+
+def _native_path_rl(data: bytes, fmt, max_bases, max_reads, k, block, read_len):
+    return list(
+        native.pack_stream_native(
+            io.BytesIO(data), fmt, max_bases, max_reads, k, block, read_len=read_len
+        )
+    )
+
+
+def _assert_same6(a, b):
+    assert len(a) == len(b), (len(a), len(b))
+    for (p1, l1, nb1, nr1, ni1, s1), (p2, l2, nb2, nr2, ni2, s2) in zip(a, b):
+        assert s1 == s2
+        np.testing.assert_array_equal(p1, p2)
+        np.testing.assert_array_equal(l1, l2)
+        assert (nb1, nr1, ni1) == (nb2, nr2, ni2)
+
+
+@pytest.mark.parametrize("block", [64, 300, 1 << 16])
+def test_strided_fastq_uniform_matches_numpy(block):
+    """Uniform-length FASTQ with read_len: the C++ pass emits the word-plane
+    strided layout directly, bit-identical to pack_for_device(read_len=L)."""
+    rng = np.random.default_rng(10)
+    L = 37
+    reads = ["".join(rng.choice(list("ACGTN"), L)) for _ in range(200)]
+    data = "".join(f"@r{i}\n{s}\n+\n{'F' * L}\n" for i, s in enumerate(reads)).encode()
+    args = ("fastq", 1024, 64, 31, block, L)
+    got, expect = _native_path_rl(data, *args), _numpy_path_rl(data, *args)
+    assert all(t[5] for t in got)  # every buffer conforms -> strided
+    _assert_same6(got, expect)
+
+
+def test_strided_fasta_wrapped_lines_matches_numpy():
+    """FASTA records wrapped across lines still conform when the TOTAL
+    length is read_len."""
+    rng = np.random.default_rng(11)
+    L = 100
+    parts = []
+    for i in range(80):
+        s = "".join(rng.choice(list("ACGT"), L))
+        wrapped = "\n".join(s[j : j + 60] for j in range(0, L, 60))
+        parts.append(f">r{i}\n{wrapped}\n")
+    data = "".join(parts).encode()
+    args = ("fasta", 1 << 12, 64, 31, 200, L)
+    got, expect = _native_path_rl(data, *args), _numpy_path_rl(data, *args)
+    assert all(t[5] for t in got)
+    _assert_same6(got, expect)
+
+
+@pytest.mark.parametrize("block", [128, 1 << 16])
+def test_strided_mixed_lengths_fall_back_per_buffer(block):
+    """Buffers containing an off-length read re-frame continuously (identical
+    greedy boundaries); conforming buffers stay strided — exactly
+    pack_for_device's per-buffer decision."""
+    rng = np.random.default_rng(12)
+    L = 41
+    reads = ["".join(rng.choice(list("ACGT"), L)) for _ in range(120)]
+    reads[30] = reads[30][:-3]  # short read
+    reads[77] = reads[77] + "ACGT"  # long read
+    data = "".join(f"@r{i}\n{s}\n+\n{'F' * len(s)}\n" for i, s in enumerate(reads)).encode()
+    args = ("fastq", 512, 64, 31, block, L)
+    got, expect = _native_path_rl(data, *args), _numpy_path_rl(data, *args)
+    flags = [t[5] for t in got]
+    assert any(flags) and not all(flags)
+    _assert_same6(got, expect)
+
+
+def test_strided_nonconforming_at_exact_capacity_boundary():
+    """A nonconforming record that would NOT have fit the current buffer is a
+    plain capacity stop: the all-conforming buffer ships strided and the
+    off-length record opens the (continuous) next buffer."""
+    rng = np.random.default_rng(13)
+    L = 32
+    reads = ["".join(rng.choice(list("ACGT"), L)) for _ in range(8)]
+    reads.append("".join(rng.choice(list("ACGT"), L + 5)))
+    reads += ["".join(rng.choice(list("ACGT"), L)) for _ in range(3)]
+    data = "".join(f"@r{i}\n{s}\n+\n{'F' * len(s)}\n" for i, s in enumerate(reads)).encode()
+    # max_bases = exactly 8 conforming reads
+    args = ("fastq", 8 * L, 64, 31, 1 << 16, L)
+    got, expect = _native_path_rl(data, *args), _numpy_path_rl(data, *args)
+    assert got[0][5] is True and got[0][3] == 8
+    assert got[1][5] is False
+    _assert_same6(got, expect)
+
+
+def test_strided_long_record_split_falls_back():
+    """Records longer than the buffer (split with k-1 overlap) are never
+    conforming; the whole stream re-frames continuously and still matches."""
+    rng = np.random.default_rng(14)
+    long_seq = "".join(rng.choice(list("ACGT"), 2000))
+    data = (
+        f"@a\n{long_seq}\n+\n{'I' * 2000}\n@b\n{'ACGT' * 8}\n+\n{'I' * 32}\n"
+    ).encode()
+    args = ("fastq", 256, 64, 21, 128, 32)
+    got, expect = _native_path_rl(data, *args), _numpy_path_rl(data, *args)
+    _assert_same6(got, expect)
+
+
+def test_strided_invalid_read_len_disables():
+    """read_len below k or above the buffer silently packs continuous."""
+    rng = np.random.default_rng(15)
+    L = 40
+    reads = ["".join(rng.choice(list("ACGT"), L)) for _ in range(20)]
+    data = "".join(f"@r{i}\n{s}\n+\n{'F' * L}\n" for i, s in enumerate(reads)).encode()
+    for bad_rl in (2048,):  # > max_bases
+        got = _native_path_rl(data, "fastq", 1024, 64, 31, 1 << 16, bad_rl)
+        expect = _numpy_path(data, "fastq", 1024, 64, 31, 1 << 16)
+        _assert_same(got, expect)

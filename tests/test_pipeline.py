@@ -448,3 +448,63 @@ def test_make_config_streams_policy(monkeypatch):
         4, stream_probe.max_feasible_streams(huge_n)
     )
     assert stream_probe.max_feasible_streams(huge_n) < 4
+
+
+def test_peek_read_len(tmp_path):
+    """_peek_read_len detects uniform-length files from the first records
+    (gz included) and returns 0 for ragged/short input."""
+    rng = np.random.default_rng(51)
+    L = 44
+    uniform = ["".join(rng.choice(list("ACGT"), L)) for _ in range(30)]
+    p1 = _write_fasta(tmp_path / "u.fa", uniform)
+    assert pipeline._peek_read_len(p1, 9) == L
+    assert pipeline._peek_read_len(p1, L + 1) == 0  # shorter than k
+    ragged = _make_reads(rng, n=30)
+    p2 = _write_fasta(tmp_path / "r.fa", ragged)
+    assert pipeline._peek_read_len(p2, 9) == 0
+    import gzip
+
+    p3 = tmp_path / "u.fq.gz"
+    with gzip.open(p3, "wt") as f:
+        for i, s in enumerate(uniform):
+            f.write(f"@r{i}\n{s}\n+\n{'F' * L}\n")
+    assert pipeline._peek_read_len(str(p3), 9) == L
+    # a peek window cutting a record mid-way still detects from the complete
+    # prefix records
+    assert pipeline._peek_read_len(p1, 9, peek_bytes=3 * (L + 5) + 7) == L
+    assert pipeline._peek_read_len(str(tmp_path / "missing.fa"), 9) == 0
+
+
+def test_map_file_stream_packs_strided_from_buffer_one(tmp_path):
+    """With a stream-probe mapper the frame+pack pass emits the word-plane
+    strided layout directly (peek-detected read_len; no restride pass), for
+    both the native and numpy packers — counts bit-exact vs oracle."""
+    rng = np.random.default_rng(52)
+    k, L = 16, 31
+    reads = ["".join(rng.choice(list("ACGTN"), L)) for _ in range(90)]
+    arrays = _index_from_reads(rng, [r.replace("N", "A") for r in reads], k)
+    index = ki.TpuKmerIndex.from_arrays(arrays)
+    path = _write_fasta(tmp_path / "u.fa", reads)
+
+    orig = pipeline.default_config
+
+    def force_stream(**kw):
+        kw["probe"] = "stream"
+        kw["interpret"] = True
+        return orig(**kw)
+
+    pipeline.default_config = force_stream
+    try:
+        mapper, chunks = pipeline.make_mapper_and_chunks(
+            index, path, k=k, chunk_size=1 << 11,
+            map_reverse_complements=False, accumulate="scatter",
+        )
+        assert mapper.config.read_len == L
+        tuples = list(chunks)
+        assert tuples and all(t[5] for t in tuples)  # strided from buffer one
+        for packed, lengths, nb, nr, ninv, strided in tuples:
+            mapper.map_chunk(packed, lengths, nb, ninv, strided=strided)
+        got = mapper.node_counts()
+    finally:
+        pipeline.default_config = orig
+    np.testing.assert_array_equal(got, _oracle_counts(arrays, reads, k))
