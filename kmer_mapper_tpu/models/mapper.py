@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import logging
 
 import jax
 import jax.numpy as jnp
@@ -33,6 +34,8 @@ from jax import lax
 
 from ..index.kmer_index import TpuKmerIndex
 from ..ops import encode, hashing, probe, stream_probe
+
+logger = logging.getLogger(__name__)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -247,6 +250,7 @@ def auto_stream_cap(
     k: int = 31,
     valid_frac: float | None = None,
     streams: int = 1,
+    group: int = 1,
 ) -> int:
     """Stream-kernel tile size fitted to the expected queries per chain
     block. The CSE-free v5e sweep (16 Mi chunks, 8192 blocks, ~1700 queries
@@ -256,8 +260,10 @@ def auto_stream_cap(
 
     ``buf`` is the query-slot count before invalid-window thinning;
     ``valid_frac`` overrides the expected valid fraction (1.0 for pre-hashed
-    query batches where every slot is a real query)."""
-    n_blocks = max(1, n_buckets // 128)
+    query batches where every slot is a real query). ``group > 1`` (widened
+    tiles on huge tables) makes each tile serve that many chain blocks, so
+    the cap fits the per-GROUP query mean."""
+    n_blocks = max(1, n_buckets // (128 * max(1, group)))
     if valid_frac is None:
         valid_frac = (read_len - k + 1) / read_len if read_len > k else 0.8
     mean_q = buf * valid_frac / n_blocks
@@ -313,6 +319,21 @@ class KmerMapper:
 
     def __init__(self, index: TpuKmerIndex, config: MapperConfig, device=None):
         self.index = index
+        if config.probe == "stream" and config.aug == 1:
+            # human-scale tables (≳12M buckets) overflow the schedule's SMEM
+            # base arrays at group=1: widen groups to the smallest feasible
+            # power of two so the kernel can run at all (the tile then serves
+            # `group` adjacent chain blocks; bit-identical results)
+            needed = stream_probe.min_feasible_group(
+                index.table.n_buckets, streams=config.streams
+            )
+            if needed > max(1, config.group):
+                logger.info(
+                    "huge table (%d buckets): widening stream-kernel groups "
+                    "to %d chain blocks so the schedule fits SMEM",
+                    index.table.n_buckets, needed,
+                )
+                config = dataclasses.replace(config, group=needed)
         if config.probe == "stream" and not config.stream_cap:
             # with multi-stream tiles the tile width serves ONE stream's
             # per-block share, so the cap fits buf/streams worth of queries
@@ -321,6 +342,7 @@ class KmerMapper:
                 stream_cap=auto_stream_cap(
                     config.buf // config.streams, index.table.n_buckets,
                     config.read_len, config.k, streams=config.streams,
+                    group=max(1, config.group),
                 ),
             )
         self.config = config

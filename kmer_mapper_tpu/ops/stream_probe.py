@@ -225,6 +225,39 @@ def max_feasible_streams(
     )
 
 
+def min_feasible_group(
+    n_local: int, streams: int = 1, coarse: int = 0, chain_block: int | None = None
+) -> int:
+    """Smallest power-of-two chain-block group width whose schedule base
+    arrays fit the SMEM scalar-prefetch budget at the given stream count
+    (mirrors ``plan_schedule``'s ``base_len``). Human-scale tables cross a
+    hard feasibility cliff around ~12M buckets (~97K chain blocks) at
+    group=1: the per-group scalar metadata alone overflows SMEM and
+    ``plan_schedule`` raises. Widening groups — fewer, taller scheduled
+    groups, each tile serving ``group`` adjacent chain blocks — is the
+    single-chip lever (measured ~10% slower per doubling on mid-size tables,
+    r3_large_table.py, but it is that or sharding/gather). KmerMapper bumps
+    ``config.group`` to this automatically."""
+    bpb = min(CHAIN_BLOCK, n_local) if chain_block is None else chain_block
+    n_blocks = max(1, n_local // bpb)
+    g = 1
+    while g < n_blocks:
+        gg = g
+        while n_blocks % gg:
+            gg //= 2
+        if gg == g:
+            n_groups = n_blocks // g
+            c = coarse or DEFAULT_COARSE
+            c = max(1, min(c // g, n_groups))
+            while n_groups % c:
+                c //= 2
+            base_len = 1 + streams * (n_groups + 1) + n_groups + n_groups // c + 1
+            if base_len <= SMEM_I32_BUDGET:
+                return g
+        g *= 2
+    return n_blocks
+
+
 def sort_queries(q_lo, q_hi, valid, n_buckets: int, seed: int, pad_to: int = 0):
     """(sorted_m_lo, sorted_m_hi): queries bijectively mixed, sorted by m_lo.
 

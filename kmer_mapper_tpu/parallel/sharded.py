@@ -11,6 +11,9 @@ XLA's partitioner inserts the psum/all-gathers over ICI.
 """
 from __future__ import annotations
 
+import dataclasses
+import logging
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -22,6 +25,8 @@ from ..index.kmer_index import TpuKmerIndex
 from ..models.mapper import MapperConfig, auto_stream_cap, chunk_is_fixed
 from ..ops import hashing, probe, stream_probe
 from .mesh import DATA_AXIS, INDEX_AXIS
+
+logger = logging.getLogger(__name__)
 
 
 def _probe_queries_local(
@@ -58,7 +63,7 @@ def _probe_queries_local(
                 cap=cap, interpret=config.interpret,
                 block_probe=bp_local, seg_bounds=seg_bounds,
                 bucket_base=row_offset, chain_block=chain_block,
-                n_buckets_global=n_buckets,
+                n_buckets_global=n_buckets, group=config.group,
             )
         sm_lo, sm_hi = stream_probe.sort_queries(
             q_lo, q_hi, q_valid, n_buckets, seed, pad_to=cap
@@ -82,6 +87,7 @@ def _probe_queries_local(
             chain_block=chain_block,
             block_probe=bp_local,
             n_buckets_global=n_buckets,
+            group=config.group,
             tail_padded=True,
         )
     bucket, mask = probe.probe_hits(
@@ -265,6 +271,7 @@ def make_sharded_plane_step(
             bucket_base=row_offset,
             chain_block=chain_block,
             n_buckets_global=n_buckets,
+            group=config.group,
         )
         n_valid = (n_reads[0] * W).astype(jnp.uint32)
         return c[None], n_valid[None]
@@ -366,16 +373,29 @@ class ShardedKmerMapper:
 
     def __init__(self, index: TpuKmerIndex, config: MapperConfig, mesh: Mesh):
         self.index = index
+        if config.probe == "stream" and config.aug == 1:
+            # human-scale tables: per-SHARD schedule base arrays must fit SMEM
+            # (each device plans over its own bucket range) — widen groups to
+            # the local shard's smallest feasible width (see KmerMapper)
+            n_local = max(128, index.table.n_buckets // mesh.shape[INDEX_AXIS])
+            needed = stream_probe.min_feasible_group(
+                n_local, streams=config.streams
+            )
+            if needed > max(1, config.group):
+                logger.info(
+                    "huge table shard (%d buckets local): widening "
+                    "stream-kernel groups to %d chain blocks", n_local, needed,
+                )
+                config = dataclasses.replace(config, group=needed)
         if config.probe == "stream" and not config.stream_cap:
             # queries per LOCAL block still follow the GLOBAL block count
             # (each shard owns a bucket range of the same density)
-            import dataclasses
-
             config = dataclasses.replace(
                 config,
                 stream_cap=auto_stream_cap(
                     config.buf // config.streams, index.table.n_buckets,
                     config.read_len, config.k, streams=config.streams,
+                    group=max(1, config.group),
                 ),
             )
         self.config = config
@@ -424,8 +444,6 @@ class ShardedKmerMapper:
             lengths_batch, n_bases
         ):
             if self._ragged_step is None:
-                import dataclasses
-
                 # streams carries over: the ragged step segments the query
                 # array itself (stream_probe.mix_pad_segments)
                 cfg = dataclasses.replace(self.config, read_len=0)
@@ -508,8 +526,6 @@ class ShardedKmerMapper:
         per = npad // D
         step = self._hash_steps.get(per)
         if step is None:
-            import dataclasses
-
             table = self.index.table
             cfg = dataclasses.replace(self.config, read_len=0)
             if cfg.probe == "stream":

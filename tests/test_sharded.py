@@ -492,3 +492,35 @@ def test_sharded_plane_paged_schedule(monkeypatch):
     _run(mapper, reads, config)
     assert mapper._plane_step is not None
     np.testing.assert_array_equal(mapper.node_counts(), expect)
+
+
+def test_sharded_auto_widens_groups_per_shard(monkeypatch):
+    """ShardedKmerMapper bumps config.group when the per-SHARD schedule base
+    arrays would overflow SMEM (tiny forced budget); counts stay oracle-exact
+    across the mesh."""
+    from kmer_mapper_tpu.ops import stream_probe as sp
+
+    rng = np.random.default_rng(91)
+    k = 9
+    reads, arrays, expect = _setup(rng, k, n_reads=100)
+    unique = np.unique(arrays.kmers)
+    table = layout.build_table(unique, n_buckets=8 * layout.CHAIN_BLOCK)
+    slots = layout.query_table(table, arrays.kmers)
+    tpu = ki.TpuKmerIndex(
+        table=table,
+        entry_slot=slots.astype(np.int32),
+        entry_node=arrays.nodes,
+        entry_frequency=arrays.frequencies,
+        max_node_id=arrays.max_node_id(),
+        n_unique=len(unique),
+    )
+    mesh = make_mesh(n_devices=4, index_parallel=2)  # 4 blocks per shard
+    monkeypatch.setattr(sp, "SMEM_I32_BUDGET", 10)
+    assert sp.min_feasible_group(table.n_buckets // 2) > 1
+    config = MapperConfig(
+        k=k, buf=1024, max_reads=64, probe="stream", interpret=True
+    )
+    mapper = ShardedKmerMapper(tpu, config, mesh)
+    assert mapper.config.group == sp.min_feasible_group(table.n_buckets // 2)
+    _run(mapper, reads, config)
+    np.testing.assert_array_equal(mapper.node_counts(), expect)

@@ -545,3 +545,68 @@ def test_stream_probe_dense_table_deep_chains(aug):
         ),
         _expect(table, queries, valid),
     )
+
+
+def test_min_feasible_group_matches_plan_feasibility():
+    """min_feasible_group is exactly the plan's base_len boundary: the
+    returned group plans cleanly, half of it raises (human-scale tables —
+    tens of millions of buckets — are infeasible at group=1)."""
+    sp = stream_probe
+    for n_buckets in (1 << 15, 1 << 22, 1 << 25, 1 << 26, 1 << 27):
+        g = sp.min_feasible_group(n_buckets)
+        plan = sp.plan_schedule(
+            n_buckets, 1 << 20, cap=512, max_probe=5, group=g
+        )  # must not raise
+        assert plan.group == g
+        if g > 1:
+            with pytest.raises(ValueError, match="too large"):
+                sp.plan_schedule(
+                    n_buckets, 1 << 20, cap=512, max_probe=5, group=g // 2
+                )
+    # 2^27 buckets (≈ a 500M-key table) needs wider groups than 2^25
+    assert sp.min_feasible_group(1 << 27) > sp.min_feasible_group(1 << 25)
+    assert sp.min_feasible_group(1 << 15) == 1
+    # more streams need wider groups at the same table size
+    assert sp.min_feasible_group(1 << 26, streams=4) >= sp.min_feasible_group(
+        1 << 26, streams=1
+    )
+
+
+def test_mapper_auto_widens_groups_when_schedule_overflows(monkeypatch):
+    """KmerMapper bumps config.group to min_feasible_group when the table's
+    per-block scalar metadata would overflow SMEM (forced via a tiny budget);
+    counts stay bit-exact vs the oracle."""
+    sp = stream_probe
+    rng = np.random.default_rng(77)
+    keys = np.unique(rng.integers(0, 1 << 62, 16000, dtype=np.uint64))
+    table = layout.build_table(keys)  # 4096 buckets -> 32 chain blocks
+    monkeypatch.setattr(sp, "SMEM_I32_BUDGET", 60)
+    needed = sp.min_feasible_group(table.n_buckets)
+    assert needed > 1
+    index = ki.TpuKmerIndex.from_entries(
+        keys, rng.integers(0, 500, len(keys)).astype(np.int32)
+    )
+    config = MapperConfig(
+        k=31, buf=1 << 12, max_reads=256, probe="stream", interpret=True
+    )
+    mapper = KmerMapper(index, config)
+    assert mapper.config.group == needed
+    # map one small chunk end-to-end and compare against the oracle
+    reads = ["".join(rng.choice(list("ACGT"), 64)) for _ in range(30)]
+    from kmer_mapper_tpu.io import readers
+
+    flat = "".join(reads)
+    chunk = readers.SequenceChunk(
+        bases=np.frombuffer(flat.encode(), np.uint8),
+        read_starts=np.cumsum([0] + [64] * 29).astype(np.int64),
+    )
+    for packed, lengths, nb, _, ninv in readers.pack_for_device(
+        iter([chunk]), config.buf, config.max_reads, 31
+    ):
+        mapper.map_chunk(packed, lengths, nb, ninv)
+    hashes = oracle.kmer_hashes_ragged(
+        oracle.encode_bytes(chunk.bases), chunk.read_lengths, 31
+    )
+    slots = layout.query_table(table, hashes)
+    expect = np.bincount(slots[slots >= 0], minlength=table.n_slots).astype(np.uint32)
+    np.testing.assert_array_equal(np.asarray(mapper.slot_counts()), expect)
