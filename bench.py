@@ -145,10 +145,18 @@ def main():
     ]
     if use_plane:
         assert all(p[5] for p in packed)  # uniform reads -> strided layout
-    if config.probe == "stream" and config.aug > 1:
-        aug_lo, aug_hi = table.aug_keys(config.aug)
-        key_lo = jax.device_put(aug_lo)
-        key_hi = jax.device_put(aug_hi)
+    if config.probe == "stream":
+        from kmer_mapper_tpu.ops import stream_probe
+
+        aug_lo, aug_hi = (
+            table.aug_keys(config.aug) if config.aug > 1
+            else (table.key_lo, table.key_hi)
+        )
+        p_lo, p_hi = stream_probe.plane_keys(
+            aug_lo, aug_hi, group=max(1, config.group)
+        )
+        key_lo = jax.device_put(p_lo)
+        key_hi = jax.device_put(p_hi)
     else:
         key_lo = jax.device_put(table.key_lo)
         key_hi = jax.device_put(table.key_hi)

@@ -105,9 +105,11 @@ class MapperConfig:
 
 
 def chunk_step(
-    key_lo: jnp.ndarray,  # uint32[n_buckets, 8]
+    key_lo: jnp.ndarray,  # probe="stream": uint32[8, n_buckets] PLANE layout
+    # (stream_probe.plane_keys); probe="gather": uint32[n_buckets, 8]
     key_hi: jnp.ndarray,
-    counts: jnp.ndarray,  # uint32[n_slots] — donated
+    counts: jnp.ndarray,  # uint32[n_slots] — donated; PLANE order
+    # (stream_probe.slot_to_plane) on both probe paths
     packed: jnp.ndarray,  # uint32[packed_words] 2-bit codes
     lengths: jnp.ndarray,  # uint16[max_reads]; padding entries are 0
     n_bases: jnp.ndarray,  # int32 scalar
@@ -158,9 +160,11 @@ def chunk_step(
     else:
         accumulate = probe.ACCUMULATORS[config.accumulate]
 
+        gpb = stream_probe.plane_gpb(key_lo.shape[0])
+
         def probe_and_count(counts, q_lo, q_hi):
             bucket, mask = probe.probe_hits(key_lo, key_hi, q_lo, q_hi, max_probe, seed)
-            return accumulate(counts, bucket, mask, valid)
+            return accumulate(counts, bucket, mask, valid, plane_gpb=gpb)
 
         counts = probe_and_count(counts, lo, hi)
         if config.revcomp:
@@ -347,12 +351,27 @@ class KmerMapper:
             )
         self.config = config
         put = functools.partial(jax.device_put, device=device)
-        if config.probe == "stream" and config.aug > 1:
-            # the step consumes the chain-augmented table; the plain arrays
-            # are materialized lazily for the gather/membership paths
-            aug_lo, aug_hi = index.table.aug_keys(config.aug)
-            self.key_lo = put(aug_lo)
-            self.key_hi = put(aug_hi)
+        # device counts are flat PLANE order on both probe paths, blocked by
+        # gpb = group * chain block (zeros are order-agnostic;
+        # slot_counts()/load_state translate at the edges)
+        self._gpb = stream_probe.plane_gpb(
+            index.table.n_buckets,
+            max(1, config.group) if config.probe == "stream" else 1,
+        )
+        if config.probe == "stream":
+            # the stream kernel consumes the PLANE layout ((n, 8) pads 16x
+            # on TPU; see stream_probe.plane_keys) with chain augmentation
+            # folded in; the (n, 8) arrays the gather/membership probes read
+            # are materialized lazily
+            if config.aug > 1:
+                aug_lo, aug_hi = index.table.aug_keys(config.aug)
+            else:
+                aug_lo, aug_hi = index.table.key_lo, index.table.key_hi
+            p_lo, p_hi = stream_probe.plane_keys(
+                aug_lo, aug_hi, group=max(1, config.group)
+            )
+            self.key_lo = put(p_lo)
+            self.key_hi = put(p_hi)
             self._plain = None
         else:
             self.key_lo = put(index.table.key_lo)
@@ -511,9 +530,11 @@ class KmerMapper:
         lo, hi = split_u64(kmers)
         table = self.index.table
         # compiled stream kernel on TPU; interpret-mode configs (CPU tests)
-        # can exercise the same branch
-        stream_ok = jax.default_backend() == "tpu" or (
-            self.config.probe == "stream" and self.config.interpret
+        # can exercise the same branch. Gather-mode mappers keep the gather
+        # probe (their key arrays are in the row layout, not the kernel's
+        # plane layout).
+        stream_ok = self.config.probe == "stream" and (
+            jax.default_backend() == "tpu" or self.config.interpret
         )
         if n >= self.STREAM_HASH_MIN and stream_ok:
             npad = 1 << max(0, (n - 1)).bit_length()
@@ -534,9 +555,11 @@ class KmerMapper:
                         cap=auto_stream_cap(
                             npad // streams, table.n_buckets,
                             valid_frac=1.0, streams=streams,
+                            group=max(1, self.config.group),
                         ),
                         interpret=self.config.interpret,
                         streams=streams,
+                        group=self.config.group,
                     )
 
                 step = self._hash_steps[npad] = jax.jit(run, donate_argnums=(2,))
@@ -560,7 +583,10 @@ class KmerMapper:
             table.seed,
         )
         acc = probe.ACCUMULATORS[self.config.accumulate]
-        self.counts = acc(self.counts, bucket, mask, jnp.ones(len(lo), dtype=bool))
+        self.counts = acc(
+            self.counts, bucket, mask, jnp.ones(len(lo), dtype=bool),
+            plane_gpb=self._gpb,
+        )
         self._stats.append(jnp.uint32(len(lo)))
 
     def in_index(self, kmers: np.ndarray) -> np.ndarray:
@@ -603,7 +629,13 @@ class KmerMapper:
 
     def load_state(self, path) -> None:
         with np.load(path, allow_pickle=False) as data:
-            self.counts = jax.device_put(data["counts"])
+            # checkpoints store the external slot order; the device buffer
+            # lives in plane order (see __init__)
+            self.counts = jax.device_put(
+                stream_probe.slot_to_plane(
+                    data["counts"], self.index.table.n_buckets, self._gpb
+                )
+            )
             self._stats = []
             self._pending = []
             self._total_kmers = int(data["n_kmers"])
@@ -611,7 +643,11 @@ class KmerMapper:
 
     def slot_counts(self) -> np.ndarray:
         self.flush()
-        return np.asarray(jax.device_get(self.counts))
+        return stream_probe.plane_to_slot(
+            np.asarray(jax.device_get(self.counts)),
+            self.index.table.n_buckets,
+            self._gpb,
+        )
 
     def node_counts(self, max_frequency: int = 1000) -> np.ndarray:
         """Final per-node hit counts, uint32[max_node_id + 1]."""

@@ -95,24 +95,35 @@ def probe_slots(
 
 
 # --- count accumulation ------------------------------------------------------
-# counts are uint32[n_slots] (flat, slot = bucket * BUCKET_KEYS + lane)
+# counts are uint32[n_slots] flat. Default indexing is slot order (slot =
+# bucket * BUCKET_KEYS + lane); ``plane_gpb > 0`` scatters into the
+# group-blocked plane order ((g*K + lane)*gpb + bucket_in_group) that
+# stream-probe mappers keep their device counts in (see
+# stream_probe.plane_keys) — same histogram, different flat address.
 
 
-def accumulate_scatter(counts, bucket, mask, valid):
-    """Element scatter-add with duplicate indices."""
+def _hit_index(counts, bucket, mask, valid, plane_gpb):
     n_slots = counts.shape[0]
     any_hit = mask.any(axis=1) & valid
     lane = jnp.argmax(mask, axis=1).astype(jnp.int32)
-    idx = jnp.where(any_hit, bucket * BUCKET_KEYS + lane, n_slots)
+    if plane_gpb:
+        gpb = jnp.int32(min(plane_gpb, n_slots // BUCKET_KEYS))
+        idx = ((bucket // gpb) * BUCKET_KEYS + lane) * gpb + bucket % gpb
+    else:
+        idx = bucket * BUCKET_KEYS + lane
+    return jnp.where(any_hit, idx, n_slots)
+
+
+def accumulate_scatter(counts, bucket, mask, valid, plane_gpb: int = 0):
+    """Element scatter-add with duplicate indices."""
+    idx = _hit_index(counts, bucket, mask, valid, plane_gpb)
     return counts.at[idx].add(jnp.uint32(1), mode="drop")
 
 
-def accumulate_sorted(counts, bucket, mask, valid):
+def accumulate_sorted(counts, bucket, mask, valid, plane_gpb: int = 0):
     """Sort + run-length-encode + unique-index scatter."""
     n_slots = counts.shape[0]
-    any_hit = mask.any(axis=1) & valid
-    lane = jnp.argmax(mask, axis=1).astype(jnp.int32)
-    idx = jnp.where(any_hit, bucket * BUCKET_KEYS + lane, n_slots)
+    idx = _hit_index(counts, bucket, mask, valid, plane_gpb)
     n = idx.shape[0]
     s = jnp.sort(idx)
     first = jnp.concatenate([jnp.ones(1, dtype=bool), s[1:] != s[:-1]])

@@ -258,6 +258,73 @@ def min_feasible_group(
     return n_blocks
 
 
+def plane_gpb(n_buckets: int, group: int = 1, chain_block: int | None = None) -> int:
+    """Buckets per scheduled group = group * chain block — the minor dim of
+    the device PLANE layout (and the unit the count order is blocked by).
+    Mirrors ``plan_schedule``'s group clamping (group <= n_blocks, halved to
+    a divisor) so layouts can never disagree with the kernel's plan."""
+    bpb = min(CHAIN_BLOCK, n_buckets) if chain_block is None else chain_block
+    n_blocks = max(1, n_buckets // bpb)
+    g = max(1, min(group or 1, n_blocks))
+    while n_blocks % g:
+        g //= 2
+    return g * bpb
+
+
+def plane_keys(key_lo, key_hi, group: int = 1, chain_block: int | None = None):
+    """Host-side relayout of (n_buckets, W) table key arrays into the device
+    PLANE layout (n_groups, W, gpb) the stream kernel consumes, where
+    gpb = group * chain_block (``plane_gpb``).
+
+    Why: a (n_buckets, 8) u32 array's default XLA:TPU layout pads the 8-wide
+    minor dim to the 128-lane tile — 16x the HBM (a 2.15 GB human-scale
+    table became 3 materialized 16 GB temps and OOMed). The (n_groups, W,
+    gpb) form is exactly (8, 128)-tiled (zero padding), and the kernel
+    indexes a group's (W, gpb) plane block on the UNTILED leading dim —
+    plain address arithmetic, where a 2-D (W, n_buckets) form forced
+    dynamic-LANE-offset slices per tile (measured 6.5% slower end to end)."""
+    key_lo = np.asarray(key_lo)
+    n_buckets = key_lo.shape[0]
+    gpb = plane_gpb(n_buckets, group, chain_block)
+    shape = (n_buckets // gpb, gpb, key_lo.shape[1])
+    return (
+        np.ascontiguousarray(key_lo.reshape(shape).transpose(0, 2, 1)),
+        np.ascontiguousarray(np.asarray(key_hi).reshape(shape).transpose(0, 2, 1)),
+    )
+
+
+def slot_to_plane(counts: np.ndarray, n_buckets: int, gpb: int = CHAIN_BLOCK) -> np.ndarray:
+    """Flat slot-order counts (slot = bucket*K + lane) -> the group-blocked
+    plane order ((g*K + lane) * gpb + bucket_in_group) that stream mappers
+    keep their device counts in (host-side; inverse of ``plane_to_slot``)."""
+    gpb = min(gpb, n_buckets)
+    return np.ascontiguousarray(
+        np.asarray(counts)
+        .reshape(n_buckets // gpb, gpb, BUCKET_KEYS)
+        .transpose(0, 2, 1)
+    ).reshape(-1)
+
+
+def plane_to_slot(counts: np.ndarray, n_buckets: int, gpb: int = CHAIN_BLOCK) -> np.ndarray:
+    """Flat plane-order device counts -> the external slot order that
+    ``layout.query_table`` / ``TpuKmerIndex.entry_slot`` index into."""
+    gpb = min(gpb, n_buckets)
+    return np.ascontiguousarray(
+        np.asarray(counts)
+        .reshape(n_buckets // gpb, BUCKET_KEYS, gpb)
+        .transpose(0, 2, 1)
+    ).reshape(-1)
+
+
+def plane_slot_index(slot, n_buckets: int, gpb: int = CHAIN_BLOCK):
+    """Slot id (bucket*K + lane) -> its index in the plane-order flat
+    counts ((g*K + lane)*gpb + j, bucket = g*gpb + j). np and jnp arrays."""
+    gpb = min(gpb, n_buckets)
+    b = slot // BUCKET_KEYS
+    lane = slot % BUCKET_KEYS
+    return ((b // gpb) * BUCKET_KEYS + lane) * gpb + b % gpb
+
+
 def sort_queries(q_lo, q_hi, valid, n_buckets: int, seed: int, pad_to: int = 0):
     """(sorted_m_lo, sorted_m_hi): queries bijectively mixed, sorted by m_lo.
 
@@ -425,9 +492,15 @@ def _bytes8(lo, hi):
 
 
 def _table_bytes(key_lo, key_hi):
-    """(BPB, W) lo/hi words -> (BPB, 8*W) f32 byte planes, plane-major:
-    columns [pW:(p+1)W] = byte plane p (lo bytes 0-3, hi bytes 0-3). W is
-    BUCKET_KEYS times the chain-augmentation width."""
+    """(coarse, W, gpb) plane-layout lo/hi words -> (coarse, 8*W, gpb) f32
+    byte planes, plane-major: rows [pW:(p+1)W] = byte plane p (lo bytes 0-3,
+    hi bytes 0-3). W is BUCKET_KEYS times the chain-augmentation width.
+    Buckets live on the LANE dim and the group on the untiled leading dim:
+    a (n_buckets, 8) HBM array pads its 8-wide minor dim to the 128-lane
+    tile (a measured 16x HBM expansion — 3 materialized 16 GB temps on a
+    2.15 GB human-scale table), while (n_groups, W, gpb) is exactly
+    (8, 128)-tiled and per-tile group selection is untiled-dim address
+    arithmetic instead of a dynamic-lane-offset slice (measured 6.5%)."""
     return jnp.concatenate(_bytes8(key_lo, key_hi), axis=1)
 
 
@@ -464,9 +537,9 @@ PAGE = 1024  # schedule entries per paged-mode page (see _kernel docstring)
 
 def _kernel(
     off_ref,  # scalar-prefetch int32: [shard_base, goff(n_groups+1), rounds(n_groups), tile_bounds(n_steps+1)] + (SMEM mode) [t_meta(t_pad), t_off(t_pad)]
-    key_lo_ref,  # VMEM (coarse * BPB, aug*K)
+    key_lo_ref,  # VMEM (coarse, aug*K, gpb) — plane layout, buckets on lanes
     key_hi_ref,
-    counts_in_ref,  # VMEM (coarse * BPB, K) uint32, aliased with output
+    counts_in_ref,  # VMEM (coarse, K, gpb) uint32, aliased with output
     q_hbm,  # ANY (2, n_padded) uint32: rows = sorted m_lo / m_hi
     *rest,  # (paged) sched_hbm int32[n_pages, 2, PAGE]; then outputs/scratch
     cap: int,
@@ -619,8 +692,8 @@ def _kernel(
         grp = m >> PROBE_BITS
         p = m & ((1 << PROBE_BITS) - 1)
         base_bucket = off_ref[0] + grp * gpb  # off_ref[0] = shard base (buckets)
-        row0 = pl.multiple_of((grp - ci * coarse) * gpb, gpb)
-        tb = tb_s[pl.ds(row0, gpb), :]
+        g_local = grp - ci * coarse  # group's slot on the untiled leading dim
+        tb = tb_s[g_local]  # (8*aug*K, gpb)
         # per-lane position / group-range vectors over the (2, S*cap) tile:
         # lanes [s*cap, (s+1)*cap) hold stream s's sub-window, so pos/start/
         # end are built from S per-tile scalars via static lane-range selects
@@ -678,11 +751,12 @@ def _kernel(
             (local_b + p * jnp.int32(aug)) & jnp.int32(bpb - 1)
         )
         one_hot = ((rows == local_bp) & live).astype(jnp.bfloat16)
-        # per-query candidate key bytes: (8*aug*K, S*cap) = tbᵀ ⨯ one_hot
+        # per-query candidate key bytes: (8*aug*K, S*cap) = tb ⨯ one_hot
+        # (tb is already plane-major with buckets on the contraction dim)
         gathered = lax.dot_general(
             tb,
             one_hot,
-            dimension_numbers=(((0,), (0,)), ((), ())),
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         qp0, qp1, qp2 = _packed_query_planes(qm_lo, qm_hi)
@@ -691,19 +765,19 @@ def _kernel(
             gp0, gp1, gp2 = _packed_gathered(gathered, h, aug)
             hits = live & (gp0 == qp0) & (gp1 == qp1) & (gp2 == qp2)
             c = lax.dot_general(
-                one_hot,
                 hits.astype(jnp.bfloat16),
+                one_hot,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (gpb, K): contributions computed at the one-hot row, but a
-            # half-h hit belongs to bucket (row + h) wrapped in the chain
-            # block — shift rows down by h (gpb == bpb when aug > 1)
+            )  # (K, gpb): contributions computed at the one-hot row (lanes =
+            # buckets), but a half-h hit belongs to bucket (row + h) wrapped
+            # in the chain block — shift lanes down by h (gpb == bpb if aug>1)
             if h:
-                c = jnp.concatenate([c[gpb - h :, :], c[: gpb - h, :]], axis=0)
+                c = jnp.concatenate([c[:, gpb - h :], c[:, : gpb - h]], axis=1)
             total = c if total is None else total + c
-        counts_out_ref[pl.ds(row0, gpb), :] = counts_out_ref[
-            pl.ds(row0, gpb), :
-        ] + total.astype(jnp.int32).astype(jnp.uint32)
+        counts_out_ref[g_local] = counts_out_ref[g_local] + total.astype(
+            jnp.int32
+        ).astype(jnp.uint32)
         return carry
 
     if use_meta:
@@ -721,11 +795,12 @@ def _kernel(
 
 
 def stream_count(
-    key_lo: jnp.ndarray,  # uint32[n_buckets, aug*K] (mixed words; column
+    key_lo: jnp.ndarray,  # uint32[n_groups, aug*K, gpb] PLANE layout (mixed
+    # words, group's buckets on the minor dim — see plane_keys; word-row
     # group h = keys of bucket chain_next(b, h) — layout.aug_keys; aug == 1
-    # is the plain table)
+    # is the plain table). The layout's group width must match ``group``.
     key_hi: jnp.ndarray,
-    counts: jnp.ndarray,  # uint32[n_slots] flat
+    counts: jnp.ndarray,  # uint32[n_slots] flat, PLANE order (slot_to_plane)
     sorted_m_lo: jnp.ndarray,  # uint32[N] mixed, sorted (sort_queries); with
     # multiple streams: the concatenation of S independently sorted,
     # individually tail-padded segments
@@ -757,7 +832,7 @@ def stream_count(
     (= min(CHAIN_BLOCK, n_buckets_global)) and ``n_buckets_global``; shard
     sizes must be chain-block multiples so the in-kernel chain wrap reproduces
     the build's wrapping."""
-    n_local = key_lo.shape[0]
+    n_local = key_lo.shape[0] * key_lo.shape[2]
     aug = key_lo.shape[1] // BUCKET_KEYS
     assert key_lo.shape[1] == aug * BUCKET_KEYS
     if n_buckets_global is None:
@@ -765,6 +840,18 @@ def stream_count(
     shift = bucket_shift(n_buckets_global)
     bpb = min(CHAIN_BLOCK, n_local) if chain_block is None else chain_block
     assert n_local % bpb == 0, "table shard must be a multiple of the chain block"
+    # the key layout's group width is authoritative (plane_keys(group=...));
+    # an explicit group argument must agree with it after the plan's clamping
+    layout_group = key_lo.shape[2] // bpb
+    assert key_lo.shape[2] == layout_group * bpb, (
+        f"plane key layout {key_lo.shape} does not block by the chain block {bpb}"
+    )
+    if group and plane_gpb(n_local, group, bpb) != key_lo.shape[2]:
+        raise ValueError(
+            f"group={group} does not match the key layout's group width "
+            f"{layout_group} (re-ship the table with plane_keys(group={group}))"
+        )
+    group = layout_group
     if aug > 1:
         assert (group or DEFAULT_GROUP) == 1, "chain augmentation requires group == 1"
         assert aug <= bpb
@@ -783,7 +870,7 @@ def stream_count(
         sorted_m_lo = jnp.concatenate([sorted_m_lo, jnp.full(pad, INVALID_WORD)])
         sorted_m_hi = jnp.concatenate([sorted_m_hi, jnp.full(pad, INVALID_WORD)])
     q = jnp.stack([sorted_m_lo, sorted_m_hi])  # (2, n_padded)
-    counts2d = counts.reshape(n_local, BUCKET_KEYS)
+    counts3d = counts.reshape(-1, BUCKET_KEYS, key_lo.shape[2])  # plane order
 
     # static schedule shapes + the paged-vs-SMEM ("meta") decision: the
     # per-tile schedule arrays only fit scalar-prefetch SMEM (~1 MB) for
@@ -810,14 +897,14 @@ def stream_count(
     n_slots = N_DMA_SLOTS
 
     in_specs = [
-        pl.BlockSpec((coarse * gpb, aug * BUCKET_KEYS), lambda i, off: (i, 0)),
-        pl.BlockSpec((coarse * gpb, aug * BUCKET_KEYS), lambda i, off: (i, 0)),
-        pl.BlockSpec((coarse * gpb, BUCKET_KEYS), lambda i, off: (i, 0)),
+        pl.BlockSpec((coarse, aug * BUCKET_KEYS, gpb), lambda i, off: (i, 0, 0)),
+        pl.BlockSpec((coarse, aug * BUCKET_KEYS, gpb), lambda i, off: (i, 0, 0)),
+        pl.BlockSpec((coarse, BUCKET_KEYS, gpb), lambda i, off: (i, 0, 0)),
         pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
     ]
     scratch_shapes = [
         pltpu.VMEM((n_slots, 2, streams * cap), jnp.uint32),
-        pltpu.VMEM((coarse * gpb, 8 * aug * BUCKET_KEYS), jnp.bfloat16),
+        pltpu.VMEM((coarse, 8 * aug * BUCKET_KEYS, gpb), jnp.bfloat16),
         pltpu.SemaphoreType.DMA((n_slots, streams)),
     ]
     if not use_meta:
@@ -834,7 +921,7 @@ def stream_count(
         num_scalar_prefetch=1,
         grid=(n_groups // coarse,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((coarse * gpb, BUCKET_KEYS), lambda i, off: (i, 0)),
+        out_specs=pl.BlockSpec((coarse, BUCKET_KEYS, gpb), lambda i, off: (i, 0, 0)),
         scratch_shapes=scratch_shapes,
     )
     # flat schedule: one entry per (block, probe round, cap-sized tile); a
@@ -928,10 +1015,12 @@ def stream_count(
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_local, BUCKET_KEYS), jnp.uint32),
-        input_output_aliases={3: 0},  # counts2d (arg 3 incl. scalar prefetch)
+        out_shape=jax.ShapeDtypeStruct(
+            (n_local // gpb, BUCKET_KEYS, gpb), jnp.uint32
+        ),
+        input_output_aliases={3: 0},  # counts3d (arg 3 incl. scalar prefetch)
         interpret=interpret,
-    )(scalars, key_lo, key_hi, counts2d, q, *sched_args)
+    )(scalars, key_lo, key_hi, counts3d, q, *sched_args)
     return out.reshape(-1)
 
 
@@ -958,8 +1047,11 @@ def stream_probe_count(
     of ``stream_probe_count_mixed``) — XLA's flat 2-operand sort has a
     per-element cliff past ~2^24 elements, so large ragged chunks and big
     pre-hashed batches keep the small-sort rate this way, exactly like the
-    fixed-read-length plane path."""
-    n_buckets = key_lo.shape[0]
+    fixed-read-length plane path.
+
+    ``key_lo``/``key_hi`` are PLANE-layout (n_groups, aug*K, gpb) arrays and
+    ``counts`` is plane-order flat — see ``stream_count``."""
+    n_buckets = key_lo.shape[0] * key_lo.shape[2]
     if streams > 1:
         m_lo, m_hi, seg_bounds = mix_pad_segments(
             q_lo, q_hi, valid, seed, cap, streams
@@ -1025,8 +1117,9 @@ def stream_probe_count_mixed(
     the kernel's tile count per chunk is ~constant (>= 1 tile per chain block
     per round) — multi-stream tiles keep the sort at its sweet-spot rate AND
     the big-chunk tile amortization. Sharded tables pass ``bucket_base`` /
-    ``chain_block`` / ``n_buckets_global`` as for ``stream_count``."""
-    n_local = key_lo.shape[0]
+    ``chain_block`` / ``n_buckets_global`` as for ``stream_count``
+    (plane-layout keys, plane-order counts)."""
+    n_local = key_lo.shape[0] * key_lo.shape[2]
     n_total = n_buckets_global if n_buckets_global is not None else n_local
     bpb = min(CHAIN_BLOCK, n_local) if chain_block is None else chain_block
     if not seg_bounds:

@@ -48,7 +48,12 @@ def _probe_queries_local(
 ):
     """One device's probe+count of a flat query array against its local
     bucket range — the shared core of every sharded step (chunk, plane-
-    fallback ragged, and pre-hashed ``map_hashes`` batches)."""
+    fallback ragged, and pre-hashed ``map_hashes`` batches).
+
+    ``c`` is the device's flat PLANE-order count shard; with the stream
+    probe ``key_lo``/``key_hi`` are the (aug*K, nb_local) plane-layout key
+    shards (see ``stream_probe.plane_keys``), with the gather probe the
+    (nb_local, 8) row-gather layout."""
     if config.probe == "stream":
         cap = config.stream_cap or stream_probe.DEFAULT_CAP
         if config.streams > 1:
@@ -100,7 +105,36 @@ def _probe_queries_local(
         n_buckets_global=n_buckets,
         row_offset=row_offset,
     )
-    return probe.ACCUMULATORS[config.accumulate](c, bucket, mask, q_valid)
+    return probe.ACCUMULATORS[config.accumulate](
+        c, bucket, mask, q_valid, plane_gpb=_counts_gpb(config, n_buckets, chain_block, n_buckets // nb_local)
+    )
+
+
+def _key_spec(config: MapperConfig) -> P:
+    """Mesh spec of the key arrays: the stream kernel's plane layout
+    (n_groups, aug*K, gpb) and the gather probe's (n_buckets, 8) row layout
+    both shard bucket ranges on their leading dim."""
+    return (
+        P(INDEX_AXIS, None, None)
+        if config.probe == "stream"
+        else P(INDEX_AXIS, None)
+    )
+
+
+def _counts_gpb(
+    config: MapperConfig, n_buckets: int, chain_block: int, n_index: int = 1
+) -> int:
+    """gpb of the plane-order count layout: group-widened on the stream
+    path (with plan_schedule's clamping — see stream_probe.plane_gpb), the
+    plain chain block on the gather path. The leading group dim is what the
+    index axis shards, so gpb must divide the per-shard bucket range: the
+    stream path enforces chain-block-aligned shards already; the gather path
+    (whose count blocking is arbitrary) shrinks gpb to fit sub-block shards."""
+    nb_local = max(1, n_buckets // max(1, n_index))
+    if config.probe == "stream":
+        group = max(1, config.group)
+        return stream_probe.plane_gpb(n_buckets, group, chain_block)
+    return min(chain_block, nb_local)
 
 
 def _local_block_probe(block_probe, x, nb_local: int, chain_block: int):
@@ -125,13 +159,17 @@ def make_sharded_step(
 ):
     """Compile the multi-device chunk step.
 
-    Global shapes (D = data axis size, S = total table slots):
-      counts  uint32[D, S]            sharded (data, index)   -- donated
-      key_lo  uint32[n_buckets, 8]    sharded (index, None)
-      key_hi  uint32[n_buckets, 8]    sharded (index, None)
-      packed  uint32[D, packed_words] sharded (data, None)
-      lengths uint16[D, max_reads]    sharded (data, None)
-      n_bases int32[D]                sharded (data,)
+    Global shapes (D = data axis size, K = layout.BUCKET_KEYS, G = bucket
+    groups = n_buckets / gpb — see stream_probe.plane_keys):
+      counts  uint32[D, G, K, gpb]       sharded (data, index, None, None)
+              -- donated (plane order: a shard's local block flattens to its
+              plane-order count vector)
+      key_lo  uint32[G, aug*K, gpb]      sharded (index, None, None) [stream]
+              uint32[n_buckets, 8]       sharded (index, None)       [gather]
+      key_hi  like key_lo
+      packed  uint32[D, packed_words]    sharded (data, None)
+      lengths uint16[D, max_reads]       sharded (data, None)
+      n_bases int32[D]                   sharded (data,)
     Returns (counts', n_valid uint32[D]).
 
     Shard boundaries are CHAIN_BLOCK-aligned (power-of-two bucket counts over
@@ -169,7 +207,7 @@ def make_sharded_step(
             starts = jnp.cumsum(lengths_i) - lengths_i
             valid = hashing.window_mask(starts, n_bases[0], k, buf)
             n_valid = jnp.sum(valid.astype(jnp.uint32))
-        c = counts[0]
+        c = counts[0].reshape(-1)  # (K, nb_local) -> flat plane order
         bp_local = (
             _local_block_probe(block_probe, x, nb_local, chain_block)
             if config.probe == "stream"
@@ -194,20 +232,21 @@ def make_sharded_step(
             if config.revcomp:
                 rlo, rhi = hashing.revcomp_lo_hi(lo, hi, k)
                 c = _probe_queries_local(c, key_lo, key_hi, rlo, rhi, valid, **kw)
-        return c[None], n_valid[None]
+        gpb = _counts_gpb(config, n_buckets, chain_block, n_index)
+        return c.reshape(-1, layout.BUCKET_KEYS, gpb)[None], n_valid[None]
 
     step = jax.shard_map(
         local_step,
         mesh=mesh,
         in_specs=(
-            P(DATA_AXIS, INDEX_AXIS),
-            P(INDEX_AXIS, None),
-            P(INDEX_AXIS, None),
+            P(DATA_AXIS, INDEX_AXIS, None, None),
+            _key_spec(config),
+            _key_spec(config),
             P(DATA_AXIS, None),
             P(DATA_AXIS, None),
             P(DATA_AXIS),
         ),
-        out_specs=(P(DATA_AXIS, INDEX_AXIS), P(DATA_AXIS)),
+        out_specs=(P(DATA_AXIS, INDEX_AXIS, None, None), P(DATA_AXIS)),
         check_vma=False,  # pallas_call outputs carry no vma annotation
     )
     return jax.jit(step, donate_argnums=(0,))
@@ -260,7 +299,7 @@ def make_sharded_plane_step(
         c = stream_probe.stream_probe_count_mixed(
             key_lo,
             key_hi,
-            counts[0],
+            counts[0].reshape(-1),
             m_lo,
             m_hi,
             max_probe,
@@ -274,19 +313,20 @@ def make_sharded_plane_step(
             group=config.group,
         )
         n_valid = (n_reads[0] * W).astype(jnp.uint32)
-        return c[None], n_valid[None]
+        gpb = _counts_gpb(config, n_buckets, chain_block, n_index)
+        return c.reshape(-1, layout.BUCKET_KEYS, gpb)[None], n_valid[None]
 
     step = jax.shard_map(
         local_step,
         mesh=mesh,
         in_specs=(
-            P(DATA_AXIS, INDEX_AXIS),
-            P(INDEX_AXIS, None),
-            P(INDEX_AXIS, None),
+            P(DATA_AXIS, INDEX_AXIS, None, None),
+            _key_spec(config),
+            _key_spec(config),
             P(DATA_AXIS, None),
             P(DATA_AXIS),
         ),
-        out_specs=(P(DATA_AXIS, INDEX_AXIS), P(DATA_AXIS)),
+        out_specs=(P(DATA_AXIS, INDEX_AXIS, None, None), P(DATA_AXIS)),
         check_vma=False,  # pallas_call outputs carry no vma annotation
     )
     return jax.jit(step, donate_argnums=(0,))
@@ -326,26 +366,27 @@ def make_sharded_hash_step(
             else None
         )
         c = _probe_queries_local(
-            counts[0], key_lo, key_hi, q_lo[0], q_hi[0], valid[0],
+            counts[0].reshape(-1), key_lo, key_hi, q_lo[0], q_hi[0], valid[0],
             config=config, n_buckets=n_buckets, nb_local=nb_local,
             max_probe=max_probe, seed=seed, chain_block=chain_block,
             row_offset=row_offset, bp_local=bp_local,
         )
         n_valid = jnp.sum(valid[0].astype(jnp.uint32))
-        return c[None], n_valid[None]
+        gpb = _counts_gpb(config, n_buckets, chain_block, n_index)
+        return c.reshape(-1, layout.BUCKET_KEYS, gpb)[None], n_valid[None]
 
     step = jax.shard_map(
         local_step,
         mesh=mesh,
         in_specs=(
-            P(DATA_AXIS, INDEX_AXIS),
-            P(INDEX_AXIS, None),
-            P(INDEX_AXIS, None),
+            P(DATA_AXIS, INDEX_AXIS, None, None),
+            _key_spec(config),
+            _key_spec(config),
             P(DATA_AXIS, None),
             P(DATA_AXIS, None),
             P(DATA_AXIS, None),
         ),
-        out_specs=(P(DATA_AXIS, INDEX_AXIS), P(DATA_AXIS)),
+        out_specs=(P(DATA_AXIS, INDEX_AXIS, None, None), P(DATA_AXIS)),
         check_vma=False,  # pallas_call outputs carry no vma annotation
     )
     return jax.jit(step, donate_argnums=(0,))
@@ -354,10 +395,13 @@ def make_sharded_hash_step(
 def make_finalize(mesh: Mesh, max_node_id: int, max_frequency: int = 1000):
     """Compile node-count finalization: sum count shards over the data axis,
     gather per-entry kmer counts, frequency-filter, bincount by node. Entry
-    arrays are sharded over all devices; XLA inserts the collectives."""
+    arrays are sharded over all devices; XLA inserts the collectives.
+
+    ``counts`` is the (D, G, K, gpb) plane-order state; ``entry_slot``
+    must already be PLANE flat indices (``stream_probe.plane_slot_index``)."""
 
     def finalize(counts, entry_slot, entry_node, entry_frequency):
-        slot_counts = jnp.sum(counts, axis=0)  # reduce over data axis
+        slot_counts = jnp.sum(counts, axis=0).reshape(-1)  # plane-order flat
         ok = entry_frequency <= jnp.uint16(max_frequency)
         w = jnp.where(ok, slot_counts[entry_slot], jnp.uint32(0))
         return jnp.zeros(max_node_id + 1, dtype=jnp.uint32).at[entry_node].add(w)
@@ -406,15 +450,38 @@ class ShardedKmerMapper:
         def put(arr, spec):
             return jax.device_put(arr, NamedSharding(mesh, spec))
 
-        if config.probe == "stream" and config.aug > 1:
-            aug_lo, aug_hi = table.aug_keys(config.aug)
+        chain_block = min(layout.CHAIN_BLOCK, table.n_buckets)
+        self._gpb = _counts_gpb(
+            config, table.n_buckets, chain_block, mesh.shape[INDEX_AXIS]
+        )
+        if config.probe == "stream":
+            # plane layout for the stream kernel (see stream_probe.plane_keys),
+            # bucket groups sharded over the index axis on the leading dim
+            if config.aug > 1:
+                aug_lo, aug_hi = table.aug_keys(config.aug)
+            else:
+                aug_lo, aug_hi = table.key_lo, table.key_hi
+            p_lo, p_hi = stream_probe.plane_keys(
+                aug_lo, aug_hi, group=max(1, config.group)
+            )
+            self.key_lo = put(p_lo, _key_spec(config))
+            self.key_hi = put(p_hi, _key_spec(config))
         else:
-            aug_lo, aug_hi = table.key_lo, table.key_hi
-        self.key_lo = put(aug_lo, P(INDEX_AXIS, None))
-        self.key_hi = put(aug_hi, P(INDEX_AXIS, None))
+            self.key_lo = put(table.key_lo, _key_spec(config))
+            self.key_hi = put(table.key_hi, _key_spec(config))
+        # counts are (D, G, K, gpb) plane order: each device's local block
+        # IS its flat plane-order count shard
         self.counts = put(
-            jnp.zeros((self.n_data, table.n_slots), dtype=jnp.uint32),
-            P(DATA_AXIS, INDEX_AXIS),
+            jnp.zeros(
+                (
+                    self.n_data,
+                    table.n_buckets // self._gpb,
+                    layout.BUCKET_KEYS,
+                    self._gpb,
+                ),
+                dtype=jnp.uint32,
+            ),
+            P(DATA_AXIS, INDEX_AXIS, None, None),
         )
         block_probe = table.block_max_probe() if config.probe == "stream" else None
         self._block_probe = block_probe
@@ -576,10 +643,14 @@ class ShardedKmerMapper:
 
     def save_state(self, path) -> None:
         """Checkpoint the accumulated count shards + totals (resume long
-        multi-chip runs; mirrors ``KmerMapper.save_state``)."""
+        multi-chip runs; mirrors ``KmerMapper.save_state``). The file stores
+        the external slot order; the device keeps plane order."""
+        fetched = np.asarray(jax.device_get(self.counts))  # (D, G, K, gpb)
         np.savez(
             path,
-            counts=np.asarray(jax.device_get(self.counts)),
+            counts=np.ascontiguousarray(fetched.transpose(0, 1, 3, 2)).reshape(
+                self.n_data, -1
+            ),
             n_kmers=np.int64(self.n_kmers_mapped),
             n_invalid=np.int64(self.n_invalid_bases),
         )
@@ -592,8 +663,16 @@ class ShardedKmerMapper:
                     f"checkpoint counts shape {counts.shape} does not match "
                     f"mesh ({self.n_data}, {self.index.table.n_slots})"
                 )
+            n_buckets = self.index.table.n_buckets
+            plane = np.ascontiguousarray(
+                counts.reshape(
+                    self.n_data, n_buckets // self._gpb, self._gpb,
+                    layout.BUCKET_KEYS,
+                ).transpose(0, 1, 3, 2)
+            )
             self.counts = jax.device_put(
-                counts, NamedSharding(self.mesh, P(DATA_AXIS, INDEX_AXIS))
+                plane,
+                NamedSharding(self.mesh, P(DATA_AXIS, INDEX_AXIS, None, None)),
             )
             self._stats = []
             self._total_kmers = int(data["n_kmers"])
@@ -605,7 +684,13 @@ class ShardedKmerMapper:
         n_dev = self.mesh.size
         n = len(self.index.entry_slot)
         pad = (-n) % n_dev
-        slot = np.pad(self.index.entry_slot, (0, pad))
+        # the device counts live in plane order — translate the slot ids once
+        plane_slot = stream_probe.plane_slot_index(
+            self.index.entry_slot.astype(np.int64),
+            self.index.table.n_buckets,
+            self._gpb,
+        ).astype(np.int32)
+        slot = np.pad(plane_slot, (0, pad))
         node = np.pad(self.index.entry_node, (0, pad))
         # padding entries point at node 0 but are masked by frequency = max
         freq = np.pad(self.index.entry_frequency, (0, pad), constant_values=0xFFFF)

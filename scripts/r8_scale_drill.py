@@ -142,8 +142,11 @@ def main():
         for c in chunks
     ]
     t = time.perf_counter()
-    key_lo = jax.device_put(table.key_lo)
-    key_hi = jax.device_put(table.key_hi)
+    p_lo, p_hi = stream_probe.plane_keys(
+        table.key_lo, table.key_hi, group=max(1, config.group)
+    )
+    key_lo = jax.device_put(p_lo)
+    key_hi = jax.device_put(p_hi)
     key_lo.block_until_ready()
     log(f"table -> device: {time.perf_counter() - t:.1f}s (tunnel-bound here)")
     counts = jax.device_put(jnp.zeros(table.n_slots, dtype=jnp.uint32))
@@ -180,7 +183,11 @@ def main():
 
     # --- phase 4: finalization ------------------------------------------------
     t = time.perf_counter()
-    slot_counts = np.asarray(jax.device_get(counts))
+    slot_counts = stream_probe.plane_to_slot(
+        np.asarray(jax.device_get(counts)),
+        table.n_buckets,
+        stream_probe.plane_gpb(table.n_buckets, max(1, config.group)),
+    )
     t_fetch = time.perf_counter() - t
     t = time.perf_counter()
     node_counts = index.node_counts(slot_counts)

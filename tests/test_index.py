@@ -275,8 +275,7 @@ def test_sentinel_colliding_key_reseeds_and_stays_queryable():
 
     qlo, qhi = split_u64(np.array([evil, evil, 5, 777], dtype=np.uint64))
     out = stream_probe.stream_probe_count(
-        jnp.asarray(table.key_lo),
-        jnp.asarray(table.key_hi),
+        *map(jnp.asarray, stream_probe.plane_keys(table.key_lo, table.key_hi)),
         jnp.zeros(table.n_slots, jnp.uint32),
         jnp.asarray(qlo),
         jnp.asarray(qhi),
@@ -286,7 +285,7 @@ def test_sentinel_colliding_key_reseeds_and_stays_queryable():
         cap=8,
         interpret=True,
     )
-    out = np.asarray(out)
+    out = stream_probe.plane_to_slot(np.asarray(out), table.n_buckets)
     assert out[slots[0]] == 2 and out.sum() == 3
 
 
@@ -320,8 +319,10 @@ def test_tpuidx_rejects_out_of_range_max_probe(tmp_path):
 
     with pytest.raises(ValueError, match="schedule limit"):
         stream_probe.stream_probe_count(
-            jnp.asarray(idx.table.key_lo),
-            jnp.asarray(idx.table.key_hi),
+            *map(
+                jnp.asarray,
+                stream_probe.plane_keys(idx.table.key_lo, idx.table.key_hi),
+            ),
             jnp.zeros(idx.table.n_slots, jnp.uint32),
             jnp.zeros(128, jnp.uint32),
             jnp.zeros(128, jnp.uint32),

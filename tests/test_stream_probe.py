@@ -19,11 +19,16 @@ from kmer_mapper_tpu.ops.u32hash import split_u64
 
 def _run_stream(table, queries, valid, counts0=None, cap=512, aug=1, **kw):
     qlo, qhi = split_u64(queries)
+    # the kernel consumes plane-layout keys + plane-order counts; tests keep
+    # the external slot order at the edges (stream_probe.plane_* helpers)
     counts = jnp.asarray(
-        counts0 if counts0 is not None else np.zeros(table.n_slots, np.uint32)
+        stream_probe.slot_to_plane(
+            counts0 if counts0 is not None else np.zeros(table.n_slots, np.uint32),
+            table.n_buckets,
+        )
     )
-    key_lo, key_hi = (
-        table.aug_keys(aug) if aug > 1 else (table.key_lo, table.key_hi)
+    key_lo, key_hi = stream_probe.plane_keys(
+        *(table.aug_keys(aug) if aug > 1 else (table.key_lo, table.key_hi))
     )
     out = stream_probe.stream_probe_count(
         jnp.asarray(key_lo),
@@ -38,7 +43,7 @@ def _run_stream(table, queries, valid, counts0=None, cap=512, aug=1, **kw):
         interpret=True,
         **kw,
     )
-    return np.asarray(out)
+    return stream_probe.plane_to_slot(np.asarray(out), table.n_buckets)
 
 
 def _expect(table, queries, valid, counts0=None):
@@ -296,9 +301,10 @@ def test_block_max_probe_and_chain_skip():
     queries = np.concatenate([keys, rng.integers(0, 1 << 62, 800, dtype=np.uint64)])
     valid = np.ones(len(queries), bool)
     qlo, qhi = split_u64(queries)
+    p_lo, p_hi = stream_probe.plane_keys(table.key_lo, table.key_hi)
     out = stream_probe.stream_probe_count(
-        jnp.asarray(table.key_lo),
-        jnp.asarray(table.key_hi),
+        jnp.asarray(p_lo),
+        jnp.asarray(p_hi),
         jnp.zeros(table.n_slots, jnp.uint32),
         jnp.asarray(qlo),
         jnp.asarray(qhi),
@@ -309,7 +315,10 @@ def test_block_max_probe_and_chain_skip():
         interpret=True,
         block_probe=bp,
     )
-    np.testing.assert_array_equal(np.asarray(out), _expect(table, queries, valid))
+    np.testing.assert_array_equal(
+        stream_probe.plane_to_slot(np.asarray(out), table.n_buckets),
+        _expect(table, queries, valid),
+    )
 
 
 def test_custom_bisection_matches_numpy_searchsorted():
@@ -470,15 +479,20 @@ def test_stream_probe_group_widening_matches_oracle(group):
     )
     bpb = min(layout.CHAIN_BLOCK, table.n_buckets)
     off = stream_probe.block_offsets(sm_lo, table.n_buckets, bpb)
+    p_lo, p_hi = stream_probe.plane_keys(table.key_lo, table.key_hi, group=group)
     out = stream_probe.stream_count(
-        jnp.asarray(table.key_lo),
-        jnp.asarray(table.key_hi),
+        jnp.asarray(p_lo),
+        jnp.asarray(p_hi),
         jnp.zeros(table.n_slots, jnp.uint32),
         sm_lo, sm_hi, off, table.max_probe,
         cap=256, interpret=True, group=group,
         block_probe=jnp.asarray(table.block_max_probe()),
     )
-    np.testing.assert_array_equal(np.asarray(out), _expect(table, queries, valid))
+    gpb = stream_probe.plane_gpb(table.n_buckets, group)
+    np.testing.assert_array_equal(
+        stream_probe.plane_to_slot(np.asarray(out), table.n_buckets, gpb),
+        _expect(table, queries, valid),
+    )
 
 
 @pytest.mark.parametrize("k", [1, 5, 15, 16, 17, 31])
