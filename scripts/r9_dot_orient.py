@@ -128,9 +128,12 @@ def main():
         jnp.asarray(rng.integers(0, 1 << 32, (2, LANES), dtype=np.uint32))
         for _ in range(R)
     ]
-    t0 = time.perf_counter()
-    int(jnp.sum(qs[0]))
-    rtt = time.perf_counter() - t0
+    int(jnp.sum(qs[0]))  # device init + transfers — NOT the rtt
+    rtt = 1e9
+    for _ in range(5):
+        t0 = time.perf_counter()
+        int(jnp.sum(qs[0]))
+        rtt = min(rtt, time.perf_counter() - t0)
     log(f"rtt {rtt*1e3:.1f} ms  iters/call {ITERS}  R {R}")
 
     for variant in ("old", "new", "d1old", "d2old"):
