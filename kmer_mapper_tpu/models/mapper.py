@@ -257,10 +257,13 @@ def auto_stream_cap(
     group: int = 1,
 ) -> int:
     """Stream-kernel tile size fitted to the expected queries per chain
-    block. The CSE-free v5e sweep (16 Mi chunks, 8192 blocks, ~1700 queries
-    per block) measured 272/292/286/254 Mkmers/s at caps 1024/1792/2048/4096
-    — a tile sized just above the per-block mean wastes the least tail, and
-    the mean scales with chunk size over block count.
+    block, times 1.40. The plane-layout kernel's CSE-free v5e sweep
+    (scripts/r9_cfg_sweep.py: 64 Mi chunks, 8192 blocks, S=4, per-block
+    mean ~1640) measured 355/378/406/400/391/352 Mkmers/s at caps
+    1792/2048/2304/2560/2816/3072 — a sharp optimum at ~1.40x the mean.
+    (The pre-plane kernel peaked at 1.05x with an 8192-lane S*cap VMEM
+    ceiling; the compact plane layout freed VMEM and moved both. Round-3
+    16 Mi sweep for reference: 272/292/286/254 at 1024/1792/2048/4096.)
 
     ``buf`` is the query-slot count before invalid-window thinning;
     ``valid_frac`` overrides the expected valid fraction (1.0 for pre-hashed
@@ -271,12 +274,12 @@ def auto_stream_cap(
     if valid_frac is None:
         valid_frac = (read_len - k + 1) / read_len if read_len > k else 0.8
     mean_q = buf * valid_frac / n_blocks
-    cap = int(np.ceil(mean_q * 1.05 / 128.0)) * 128
+    cap = int(np.ceil(mean_q * 1.40 / 128.0)) * 128
     # multi-stream tiles are streams*cap lanes wide and the kernel's VMEM
-    # intermediates scale with that width — bound the TOTAL at the 8192
-    # single-stream ceiling (a tiny table + S=4 at cap 8192 measured a
-    # 21.6 MB scoped-vmem overflow)
-    ceiling = max(128, (8192 // streams) // 128 * 128)
+    # intermediates scale with that width — bound the TOTAL at 10240 lanes
+    # (12288 still compiles on the plane kernel but is past the measured
+    # falloff; the pre-plane padded kernel OOMed scoped VMEM above 8192)
+    ceiling = max(128, (10240 // streams) // 128 * 128)
     return max(min(512, ceiling), min(ceiling, cap))
 
 

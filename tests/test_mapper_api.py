@@ -50,12 +50,14 @@ def test_save_load_state_roundtrip(tmp_path):
 def test_auto_stream_cap_tracks_block_density():
     from kmer_mapper_tpu.models.mapper import auto_stream_cap
 
-    # the measured v5e production point: 16 Mi chunk, 8192 blocks, 151bp reads
-    assert auto_stream_cap(16 << 20, 1 << 20, read_len=151) == 1792
+    # the measured v5e production point (plane kernel, r9_cfg_sweep):
+    # 64 Mi chunk / 4 streams, 8192 blocks, 151bp reads -> cap 2304
+    assert auto_stream_cap(16 << 20, 1 << 20, read_len=151, streams=4) == 2304
     # denser tables (more blocks) get smaller tiles, floor 512
     assert auto_stream_cap(16 << 20, 1 << 23) == 512
-    # small tables with few blocks cap out at 8192
-    assert auto_stream_cap(64 << 20, 1 << 17) == 8192
+    # small tables with few blocks cap out at the 10240-lane ceiling
+    assert auto_stream_cap(64 << 20, 1 << 17) == 10240
+    assert auto_stream_cap(64 << 20, 1 << 17, streams=4) == 2560
     # always a multiple of 128
     for buf, nb in ((1 << 21, 1 << 14), (32 << 20, 1 << 21)):
         assert auto_stream_cap(buf, nb) % 128 == 0
