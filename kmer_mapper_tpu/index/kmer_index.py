@@ -47,8 +47,10 @@ def _npz_get(data, name):
             except ValueError:
                 # a None attribute written by the real ``to_file`` becomes a
                 # 0-d object array, unreadable under allow_pickle=False —
-                # treat as absent (e.g. an index saved without frequencies)
-                return None
+                # treat as absent (e.g. an index saved without frequencies),
+                # but keep trying the "_"-prefixed twin: a file can carry a
+                # None-valued plain field alongside a real underscored one
+                continue
     return None
 
 
@@ -272,10 +274,11 @@ def load_index(source) -> TpuKmerIndex:
     if isinstance(source, KmerIndexArrays):
         return TpuKmerIndex.from_arrays(source)
     path = str(source)
-    # the real loader tries ``file_name + ".npz"`` first
-    # (graph_kmer_index ``CollisionFreeKmerIndex.from_file``), so KAGE configs
-    # routinely pass extensionless paths — resolve them the same way
-    if not os.path.exists(path) and os.path.exists(path + ".npz"):
+    # the real loader tries ``file_name + ".npz"`` FIRST and falls back to
+    # the bare name (graph_kmer_index ``CollisionFreeKmerIndex.from_file``),
+    # so KAGE configs routinely pass extensionless paths — match that
+    # resolution order exactly (when both files exist, ``.npz`` wins)
+    if not path.endswith(".npz") and os.path.exists(path + ".npz"):
         path = path + ".npz"
     if _is_tpuidx(path):
         logger.info("Loading prebuilt TPU index %s", path)

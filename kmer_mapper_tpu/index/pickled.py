@@ -176,11 +176,17 @@ def _find_kmer_index_obj(root):
     """The kmer index inside a pickled object graph: the root itself if it is
     index-shaped, else the first index-shaped subobject reached under a
     ``kmer_index`` attribute/dict-key path (an IndexBundle carries many
-    indexes; only the kmer index is ours)."""
+    indexes; only the kmer index is ours). The match is on an exact path
+    SEGMENT — a bundle member like ``reverse_kmer_index`` that happens to
+    carry ``_kmers``/``_nodes`` arrays must not be harvested instead."""
     if _looks_like_index(root):
         return root
     for path, val in _walk(root, set()):
-        if "kmer_index" in path and _looks_like_index(val):
+        segments = [
+            s.strip("'\"")
+            for s in path.replace("[", ".").replace("]", "").split(".")
+        ]
+        if "kmer_index" in segments and _looks_like_index(val):
             return val
     return None
 

@@ -167,6 +167,10 @@ struct Packer {
 
   // Emit the record's segments starting at `resume` emitted-bases; returns
   // the new emitted-base count (== sp.total when the record completed).
+  // Returns -1 for a capacity stop on a ZERO-length record: done == 0 ==
+  // sp.total would otherwise read as "completed" and silently swallow the
+  // record, where the numpy packer ships the buffer and carries the
+  // 0-length read into the next one (callers clamp next_resume to 0).
   int64_t emit_record(const SeqSpans& sp, int64_t resume) {
     if (read_len && (resume != 0 || sp.total != read_len)) {
       // Nonconforming record: abort to a continuous re-frame of this window —
@@ -176,7 +180,8 @@ struct Packer {
       // like pack_for_device's per-buffer layout decision.
       int64_t c0 = cap();
       int64_t seg0 = sp.total < c0 ? sp.total : c0;
-      if (n_bases + seg0 > max_bases || n_reads + 1 > max_reads) return resume;
+      if (n_bases + seg0 > max_bases || n_reads + 1 > max_reads)
+        return sp.total == 0 ? -1 : resume;
       abort_strided = true;  // caller re-frames this window continuously
       return resume;
     }
@@ -186,7 +191,8 @@ struct Packer {
     while (true) {
       int64_t seg_start = done == 0 ? 0 : done - (k - 1);
       int64_t seg_len = total - seg_start < c ? total - seg_start : c;
-      if (n_bases + seg_len > max_bases || n_reads + 1 > max_reads) return done;
+      if (n_bases + seg_len > max_bases || n_reads + 1 > max_reads)
+        return total == 0 ? -1 : done;
       copy_segment(sp, seg_start, seg_start + seg_len);
       done = seg_start + seg_len;
       if (done >= total) return total;
@@ -257,7 +263,7 @@ void kmh_pack_fastq(const uint8_t* buf, int64_t len, int32_t eof, int64_t k,
     if (pk.abort_strided) break;
     if (done < sp.total) {
       out->stopped_capacity = 1;
-      out->next_resume = done;
+      out->next_resume = done < 0 ? 0 : done;  // -1 = zero-length record stop
       break;
     }
     resume = 0;
@@ -327,7 +333,7 @@ void kmh_pack_fasta(const uint8_t* buf, int64_t len, int32_t eof, int64_t k,
     if (pk.abort_strided) break;
     if (done < sp.total) {
       out->stopped_capacity = 1;
-      out->next_resume = done;
+      out->next_resume = done < 0 ? 0 : done;  // -1 = zero-length record stop
       break;
     }
     resume = 0;

@@ -71,7 +71,12 @@ def main():
     )
 
     streams = int(os.environ.get("STREAMS", "1"))
-    cap = cap_arg or auto_stream_cap(BUF // streams, table.n_buckets, READ_LEN)
+    # exactly the KmerMapper auto-cap call (streams bounds the lane ceiling,
+    # group widens the per-tile block span) so this measures production config
+    cap = cap_arg or auto_stream_cap(
+        BUF // streams, table.n_buckets, READ_LEN,
+        streams=streams, group=max(1, grp),
+    )
     config = default_config(
         k=K, buf=BUF, max_reads=BUF // 64, read_len=READ_LEN,
         stream_cap=cap, aug=aug, group=grp, streams=streams,
@@ -99,11 +104,15 @@ def main():
         )))
         for c in chunks
     ]
+    # round-4 plane layout: the stream kernel consumes plane_keys output
+    # (see KmerMapper.__init__); group must match config.group
     if aug > 1:
-        key_lo, key_hi = (jax.device_put(a) for a in table.aug_keys(aug))
+        aug_lo, aug_hi = table.aug_keys(aug)
     else:
-        key_lo = jax.device_put(table.key_lo)
-        key_hi = jax.device_put(table.key_hi)
+        aug_lo, aug_hi = table.key_lo, table.key_hi
+    p_lo, p_hi = stream_probe.plane_keys(aug_lo, aug_hi, group=max(1, grp))
+    key_lo = jax.device_put(p_lo)
+    key_hi = jax.device_put(p_hi)
     counts = jax.device_put(jnp.zeros(table.n_slots, dtype=jnp.uint32))
     if use_plane:
         from kmer_mapper_tpu.models.mapper import plane_chunk_step

@@ -66,8 +66,14 @@ def main():
         f"{len(entry_kmers)} keys -> {table.n_buckets} buckets "
         f"({table.n_buckets // 128} blocks), max_probe={table.max_probe}"
     )
-    key_lo = jax.device_put(table.key_lo)
-    key_hi = jax.device_put(table.key_hi)
+    # round-4 plane layout: the stream kernel consumes plane_keys output
+    # (device tables keyed (n_groups, W, gpb)); raw table.key_lo is no
+    # longer a valid kernel input (see KmerMapper.__init__)
+    from kmer_mapper_tpu.ops import stream_probe
+
+    p_lo, p_hi = stream_probe.plane_keys(table.key_lo, table.key_hi)
+    key_lo = jax.device_put(p_lo)
+    key_hi = jax.device_put(p_hi)
 
     for streams in sweep:
         cap = auto_stream_cap(

@@ -266,3 +266,33 @@ def test_strided_invalid_read_len_disables():
         got = _native_path_rl(data, "fastq", 1024, 64, 31, 1 << 16, bad_rl)
         expect = _numpy_path(data, "fastq", 1024, 64, 31, 1 << 16)
         _assert_same(got, expect)
+
+
+def test_zero_length_record_at_full_buffer_carries_over():
+    """A zero-length record arriving exactly when the buffer is full must be
+    a capacity stop (ships the buffer, opens the next one with a 0-length
+    entry), never silently consumed: emit_record signals it with -1 because
+    done == 0 == sp.total would otherwise read as "completed". Covers the
+    continuous path, the strided path (nonconforming record at capacity ->
+    strided buffer ships, next buffer re-frames continuously), and FASTA."""
+    rng = np.random.default_rng(16)
+    L = 32
+    reads = ["".join(rng.choice(list("ACGT"), L)) for _ in range(4)]
+    reads.append("")  # zero-length read lands at n_reads == max_reads
+    reads += ["".join(rng.choice(list("ACGT"), L)) for _ in range(2)]
+    fq = "".join(
+        f"@r{i}\n{s}\n+\n{'F' * len(s)}\n" for i, s in enumerate(reads)
+    ).encode()
+    args = ("fastq", 1 << 12, 4, 31, 1 << 16)
+    got, expect = _native_path(fq, *args), _numpy_path(fq, *args)
+    assert len(got) == 2 and got[1][1][0] == 0  # 0-length opens buffer 2
+    _assert_same(got, expect)
+
+    got6 = _native_path_rl(fq, *args, L)
+    expect6 = _numpy_path_rl(fq, *args, L)
+    assert got6[0][5] is True and got6[1][5] is False
+    _assert_same6(got6, expect6)
+
+    fa = "".join(f">r{i}\n{s}\n" for i, s in enumerate(reads)).encode()
+    args_fa = ("fasta", 1 << 12, 4, 31, 1 << 16)
+    _assert_same(_native_path(fa, *args_fa), _numpy_path(fa, *args_fa))

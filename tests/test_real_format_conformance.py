@@ -166,3 +166,70 @@ def test_cli_maps_real_format_index(tmp_path):
     got = map_bnp(args)
     want = oracle.map_kmers_to_index(arrays, kmers, max_node_id=int(nodes.max()))
     np.testing.assert_array_equal(got, want)
+
+
+def test_extensionless_prefers_npz_when_both_exist(tmp_path):
+    """The real from_file tries path + '.npz' BEFORE the bare name — when
+    both files exist, the .npz twin must win (advisor r4)."""
+    rng = np.random.default_rng(48)
+    arrays_npz = _arrays(rng)
+    write_collision_free_npz(tmp_path / "both", arrays_npz)
+    # a DIFFERENT valid index at the bare path: picking it would "work" but
+    # return the wrong index, so n_unique disambiguates which file was read
+    arrays_bare = _arrays(rng, n=40)
+    import shutil
+
+    bare_src = write_collision_free_npz(tmp_path / "baretmp", arrays_bare)
+    shutil.move(bare_src, tmp_path / "both")
+    index = load_index(str(tmp_path / "both"))
+    assert index.n_unique == len(np.unique(arrays_npz.kmers))
+    _check_counts(index, arrays_npz, _queries(rng, arrays_npz))
+
+
+def test_none_plain_field_with_real_underscored_twin(tmp_path):
+    """A 0-d object-None PLAIN field must not mask a real '_'-prefixed twin:
+    _npz_get keeps trying the underscored variant (advisor r4). Pinned via
+    the frequency filter — dropping _frequencies would change the counts."""
+    rng = np.random.default_rng(49)
+    arrays = _arrays(rng, with_high_freq=True)
+    path = tmp_path / "mixed.npz"
+    np.savez(
+        path,
+        hashes_to_index=arrays.hashes_to_index.astype(np.int64),
+        n_kmers=arrays.n_kmers.astype(np.int64),
+        nodes=arrays.nodes.astype(np.uint32),
+        ref_offsets=np.arange(len(arrays.kmers), dtype=np.uint64),
+        kmers=arrays.kmers.astype(np.uint64),
+        modulo=int(arrays.modulo),
+        frequencies=np.array(None, dtype=object),  # None-valued plain field
+        _frequencies=arrays.frequencies.astype(np.uint16),  # the real data
+        allele_frequencies=np.array(None, dtype=object),
+    )
+    index = load_index(str(path))
+    _check_counts(index, arrays, _queries(rng, arrays))
+
+
+def test_pickled_bundle_reverse_kmer_index_decoy(tmp_path):
+    """A bundle member whose NAME merely contains 'kmer_index' as a substring
+    (reverse_kmer_index) and is index-shaped must not be harvested: the
+    match is on an exact path segment (advisor r4). The decoy is ordered
+    FIRST so substring matching would have picked it."""
+    from gki_conformance import (
+        _fake_class,
+        make_real_kmer_index_obj,
+    )
+
+    rng = np.random.default_rng(50)
+    arrays = _arrays(rng)
+    Decoy = _fake_class("graph_kmer_index.flat_kmers", "FlatKmers")
+    d = Decoy()
+    d._kmers = np.array([5, 6, 7], dtype=np.uint64)
+    d._nodes = np.array([1, 1, 1], dtype=np.uint32)
+    indexes = {
+        "reverse_kmer_index": d,  # walk reaches this first
+        "kmer_index": make_real_kmer_index_obj(arrays),
+    }
+    real = write_shared_memory_wrapper_file(tmp_path / "bundle_rev", indexes)
+    index = load_index(real)
+    assert index.n_unique == len(np.unique(arrays.kmers))  # not the 3-kmer decoy
+    _check_counts(index, arrays, _queries(rng, arrays))
