@@ -14,6 +14,12 @@ WORK=$(mktemp -d /tmp/wheelcheck.XXXX)
 trap 'rm -rf "$WORK"' EXIT
 BASE_PY=${BASE_PY:-/opt/venv/bin/python}
 
+# force CPU: the session env registers the axon TPU plugin in EVERY python
+# (PYTHONPATH=/root/.axon_site sitecustomize + JAX_PLATFORMS=axon) — without
+# stripping it this check would run on, and contend for, the real TPU
+unset PYTHONPATH PALLAS_AXON_POOL_IPS PALLAS_AXON_TPU_GEN PALLAS_AXON_REMOTE_COMPILE
+export JAX_PLATFORMS=cpu
+
 cd "$REPO"
 rm -rf "$WORK/dist"
 "$BASE_PY" -m pip wheel . -w "$WORK/dist" --no-deps --no-build-isolation -q
