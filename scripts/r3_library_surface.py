@@ -114,9 +114,18 @@ def main():
         return counts, counts[:8].sum()
 
     win = jax.jit(window, donate_argnums=(2,))
-    key_lo = jax.device_put(table.key_lo)
-    key_hi = jax.device_put(table.key_hi)
-    counts = jax.device_put(jnp.zeros(table.n_slots, dtype=jnp.uint32))
+    # the stream kernel consumes the PLANE layout + plane-order counts,
+    # exactly as KmerMapper.__init__/map_hashes prepare them
+    p_lo, p_hi = stream_probe.plane_keys(table.key_lo, table.key_hi)
+    key_lo = jax.device_put(p_lo)
+    key_hi = jax.device_put(p_hi)
+    counts = jax.device_put(
+        jnp.asarray(
+            stream_probe.slot_to_plane(
+                np.zeros(table.n_slots, dtype=np.uint32), table.n_buckets
+            )
+        )
+    )
     t = time.perf_counter()
     counts, tot = win(key_lo, key_hi, counts, dev, valid)
     _ = int(jax.device_get(tot))
