@@ -430,14 +430,19 @@ def _pick_streams(read_len: int, paged: bool, buf: int, k: int, n_local: int) ->
     multi-stream kernel tiles — XLA's sort is fastest below ~2^24 elements
     while kernel tiles per chunk are ~constant.
 
+    All four S-choices re-attested at the round-5 plane-layout kernel with
+    the retuned 1.40x cap (BASELINE.md round-5 section; the pre-retune
+    rates in older notes are superseded):
+
     * fixed-read-length (word-plane) chunks: S=4 on SMEM-schedule tables
-      (371 vs 340 Mk/s single-stream; ~53.8M windows/chunk), S=2 on paged
-      tables (246.9 vs 237.3/230.5 at S=1/S=4 — their thin per-block windows
-      make S=4's tighter cap inflate the tile count);
-    * ragged chunks: S=6 on SMEM-schedule tables (227.4 vs 219.9/205.1/178.1
-      at S=4/8/1 — all 67M buf slots are window candidates, so more segments
-      reach the sort sweet spot), S=4 on paged tables (163.9 vs 147.1/157.9
-      at S=2/S=1 on the 12.8M-key table; S=6 is SMEM-infeasible there);
+      (402.9 vs 394.3/377.6 Mk/s at S=2/6, rtt-subtracted; ~53.8M
+      windows/chunk), S=2 on paged tables (319.3 vs 253.9/296.3 at S=1/S=4
+      on the 4.19M-bucket table — thin per-block windows make S=4's
+      tighter cap inflate the tile count);
+    * ragged chunks: S=6 on SMEM-schedule tables (262.6 vs 238.0 at S=4 —
+      all 67M buf slots are window candidates, so more segments reach the
+      sort sweet spot), S=4 on paged tables (188.9 vs 165.2 at S=2 on the
+      12.8M-key table; S=6 is SMEM-infeasible there);
 
     clamped by ``stream_probe.max_feasible_streams`` so a large table can
     never pick a stream count whose schedule base arrays overflow SMEM
