@@ -195,8 +195,9 @@ def make_mapper_and_chunks(
     The device buffer is 64 Mi bases regardless of ``chunk_size`` (the
     reference's 2.5 MB default is a CPU-pool tuning knob; on TPU the
     fixed-read-length path sorts the chunk as multi-stream segments and the
-    kernel's per-chunk tile count is ~constant — see ``_buf_floor``). On CPU
-    (tests/fallback) the buffer follows chunk_size directly.
+    kernel's per-chunk tile count is ~constant — see ``_buf_floor``; tables
+    whose schedule needs group >= 4 ride 128 Mi). On CPU (tests/fallback)
+    the buffer follows chunk_size directly.
 
     If the file's reads are uniform-length (the Illumina case — detected from
     a peek at the first records, confirmed per buffer), the step compiles with
@@ -205,7 +206,7 @@ def make_mapper_and_chunks(
     restride pass); non-uniform chunks take a ragged twin step with identical
     results."""
     floor, paged = _buf_floor(index, k)
-    buf = _round_up(min(max(chunk_size, floor), 64 << 20), 1 << 13)
+    buf = _round_up(min(max(chunk_size, floor), max(floor, 64 << 20)), 1 << 13)
     if paged:
         logger.info(
             "large index (%d buckets): the kernel schedule is HBM-paged "
@@ -347,7 +348,7 @@ def map_file_sharded(
     index = load_index(index)
     mesh = make_mesh(n_devices=n_devices, index_parallel=index_parallel)
     floor, paged = _buf_floor(index, k, n_shards=index_parallel)
-    buf = _round_up(min(max(chunk_size, floor), 64 << 20), 1 << 13)
+    buf = _round_up(min(max(chunk_size, floor), max(floor, 64 << 20)), 1 << 13)
 
     def make_config(read_len):
         # same multi-stream default as map_file (per-shard schedules decide
@@ -500,13 +501,18 @@ def _buf_floor(
     index: TpuKmerIndex | None = None, k: int = 31, n_shards: int = 1
 ) -> tuple[int, bool]:
     """(device buffer floor in bases, schedule-is-paged). On TPU the floor is
-    64 Mi everywhere: fixed-read-length files sort it as 4 multi-stream
-    segments (the v5e optimum, 353 Mk/s); large paged tables amortize their
-    ~constant per-chunk kernel tile count (210 vs 151 Mk/s at 64 vs 16 Mi,
+    64 Mi: fixed-read-length files sort it as 4 multi-stream segments (the
+    v5e optimum, 353 Mk/s); large paged tables amortize their ~constant
+    per-chunk kernel tile count (210 vs 151 Mk/s at 64 vs 16 Mi,
     r3_large_table.py); ragged single-stream files lose only ~3% vs their own
-    32 Mi optimum — not worth a second compile shape. The paged-ness flag
-    (the kernel's own planner at a 32 Mi probe; the first shard's block span
-    approximates a sharded index) picks the stream count in make_config."""
+    32 Mi optimum — not worth a second compile shape. Human-scale tables
+    whose schedule needs group >= 4 (~>=25M buckets per chip) raise the floor
+    to 128 Mi: their tall group-wide tiles amortize even better over bigger
+    chunks (150M-key drill, r8_scale_drill.py: 127.5 vs 110.4 Mk/s at
+    128 vs 64 Mi; the group=1 4.19M-bucket table gained only +1.8% from
+    128 Mi — hence the group >= 4 gate). The paged-ness flag (the kernel's
+    own planner at a 32 Mi probe; the first shard's block span approximates
+    a sharded index) picks the stream count in make_config."""
     import jax
 
     if jax.default_backend() != "tpu":
@@ -519,6 +525,8 @@ def _buf_floor(
 
     t = index.table
     n_local = max(128, t.n_buckets // max(1, n_shards))
+    if stream_probe.min_feasible_group(n_local) >= 4:
+        floor = 128 << 20
     cap = auto_stream_cap(32 << 20, t.n_buckets, 0, k)
     n_q = 32 << 20  # query slots before invalid thinning (upper bound)
     try:

@@ -11,8 +11,16 @@ Phases (each timed; host peak RSS checkpointed):
   4. node-count finalization (host gathers + bincount over all entries)
 
 Usage: python scripts/r8_scale_drill.py [N_KEYS_MILLIONS=150]
-Env: STEPS (default 4: distinct 64 Mi chunks resident at once), BUF_MI=64,
-     STREAMS (default: production policy), SKIP_DEVICE=1 (host phases only).
+Env: STEPS (default 4: distinct buffer-sized chunks resident at once),
+     BUF_MI (default: the production `_buf_floor` policy — 128 Mi when the
+     estimated single-chip schedule needs group >= 4, else 64 Mi),
+     STREAMS (default: production policy), SKIP_DEVICE=1 (host phases only),
+     REUSE_INDEX=1 (load /tmp/drill.tpuidx.npz from a prior run instead of
+     rebuilding — only comparable across runs with the same BUF_MI, since
+     half the keys are sampled from the first chunk).
+Measured here (150M keys): 64 Mi = 110.4, 128 Mi = 127.5 Mk/s; forcing
+STREAMS=2 widens groups 4 -> 8 and drops to 81.2 — hence the production
+policy (S=1, 128 Mi floor) for group>=4 tables.
 """
 import functools
 import os
@@ -25,7 +33,7 @@ import numpy as np
 
 K = 31
 READ_LEN = 151
-BUF = int(os.environ.get("BUF_MI", 64)) << 20
+BUF_ENV = int(os.environ.get("BUF_MI", 0)) << 20  # 0 = production floor
 STEPS = int(os.environ.get("STEPS", 4))
 N_WINDOWS = 3
 
@@ -52,29 +60,55 @@ def main():
                                                plane_chunk_step)
     from kmer_mapper_tpu.ops import stream_probe
 
+    from kmer_mapper_tpu.index import layout
+
     rng = np.random.default_rng(0)
+
+    # the production buffer floor, estimated pre-build (mirrors
+    # pipeline._buf_floor's group>=4 gate; build_table's bucket count is
+    # deterministic in n_keys up to rare chain-bound growth)
+    n_buckets_est = max(4, layout._next_pow2(
+        int(np.ceil(n_keys / (layout.BUCKET_KEYS * layout.DEFAULT_MAX_LOAD)))
+    ))
+    floor_est = (128 if stream_probe.min_feasible_group(n_buckets_est) >= 4
+                 else 64) << 20
+    BUF = BUF_ENV or floor_est
+    log(f"buffer: {BUF >> 20} Mi ({'env' if BUF_ENV else 'production floor'})")
 
     # --- phase 1: keys + build ------------------------------------------------
     chunks = [make_read_chunk(rng, BUF) for _ in range(STEPS)]
-    sample_codes = oracle.encode_bytes(chunks[0].bases[: READ_LEN * 100_000])
-    sample_kmers = oracle.kmer_hashes(sample_codes, K)
-    t = time.perf_counter()
-    entry_kmers = np.unique(
-        np.concatenate(
-            [
-                rng.integers(0, 1 << 62, n_keys * 3 // 4, dtype=np.uint64),
-                rng.choice(sample_kmers, n_keys // 2),
-            ]
+    path = "/tmp/drill.tpuidx.npz"
+    if os.environ.get("REUSE_INDEX") == "1" and os.path.exists(path):
+        t = time.perf_counter()
+        index = ki.TpuKmerIndex.from_file(path)
+        log(
+            f"REUSED index from {path} in {time.perf_counter() - t:.1f}s: "
+            f"{index.n_unique} keys (RSS {rss_gb():.1f} GB)"
         )
-    )[:n_keys]
-    t_gen = time.perf_counter() - t
-    nodes = rng.integers(0, 30_000_000, len(entry_kmers)).astype(np.int32)
-    log(f"keys: {len(entry_kmers)} unique in {t_gen:.1f}s (RSS {rss_gb():.1f} GB)")
+        t_build = t_save = sz = t_load = 0.0
+        table = index.table
+        reused = True
+    else:
+        reused = False
+        sample_codes = oracle.encode_bytes(chunks[0].bases[: READ_LEN * 100_000])
+        sample_kmers = oracle.kmer_hashes(sample_codes, K)
+        t = time.perf_counter()
+        entry_kmers = np.unique(
+            np.concatenate(
+                [
+                    rng.integers(0, 1 << 62, n_keys * 3 // 4, dtype=np.uint64),
+                    rng.choice(sample_kmers, n_keys // 2),
+                ]
+            )
+        )[:n_keys]
+        t_gen = time.perf_counter() - t
+        nodes = rng.integers(0, 30_000_000, len(entry_kmers)).astype(np.int32)
+        log(f"keys: {len(entry_kmers)} unique in {t_gen:.1f}s (RSS {rss_gb():.1f} GB)")
 
-    t = time.perf_counter()
-    index = ki.TpuKmerIndex.from_entries(entry_kmers, nodes)
-    t_build = time.perf_counter() - t
-    table = index.table
+        t = time.perf_counter()
+        index = ki.TpuKmerIndex.from_entries(entry_kmers, nodes)
+        t_build = time.perf_counter() - t
+        table = index.table
     bp = table.block_max_probe()
     log(
         f"BUILD {t_build:.1f}s: {table.n_buckets} buckets, table "
@@ -83,25 +117,29 @@ def main():
     )
 
     # --- phase 2: .tpuidx save/load (the convert-index artifact) -------------
-    path = "/tmp/drill.tpuidx.npz"
-    t = time.perf_counter()
-    index.to_file(path)
-    t_save = time.perf_counter() - t
-    sz = os.path.getsize(path) / 1e9
-    t = time.perf_counter()
-    index2 = ki.TpuKmerIndex.from_file(path)
-    t_load = time.perf_counter() - t
-    assert index2.n_unique == index.n_unique
-    log(
-        f"SAVE {t_save:.1f}s ({sz:.2f} GB on disk), LOAD {t_load:.1f}s "
-        f"(RSS {rss_gb():.1f} GB)"
-    )
-    del index2
+    if not reused:
+        t = time.perf_counter()
+        index.to_file(path)
+        t_save = time.perf_counter() - t
+        sz = os.path.getsize(path) / 1e9
+        t = time.perf_counter()
+        index2 = ki.TpuKmerIndex.from_file(path)
+        t_load = time.perf_counter() - t
+        assert index2.n_unique == index.n_unique
+        log(
+            f"SAVE {t_save:.1f}s ({sz:.2f} GB on disk), LOAD {t_load:.1f}s "
+            f"(RSS {rss_gb():.1f} GB)"
+        )
+        del index2
 
     # --- feasibility report: single-chip schedule + per-shard re-plans -------
     floor, paged = pipeline._buf_floor(index, K)
     g1 = stream_probe.min_feasible_group(table.n_buckets)
-    log(f"schedule: paged={paged}, min feasible group (1 chip) = {g1}")
+    log(
+        f"schedule: paged={paged}, min feasible group (1 chip) = {g1}, "
+        f"production buf floor = {floor >> 20} Mi"
+        + (" [!= drill buffer]" if not BUF_ENV and floor != BUF else "")
+    )
     for shards in (2, 4, 8):
         n_local = table.n_buckets // shards
         g = stream_probe.min_feasible_group(n_local)

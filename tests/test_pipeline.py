@@ -389,6 +389,21 @@ def test_buf_floor_and_paged_flag(monkeypatch):
     assert pipeline._buf_floor(big, n_shards=8) == (64 << 20, False)
     assert pipeline._buf_floor(None) == (64 << 20, False)
 
+    # human-scale tables whose schedule needs group >= 4 raise the floor to
+    # 128 Mi (150M-key drill: 127.5 vs 110.4 Mk/s at 128 vs 64 Mi); sharded
+    # 8 ways each shard plans at group=1 again and the floor drops back
+    from kmer_mapper_tpu.ops import stream_probe
+
+    huge_table = SimpleNamespace(
+        n_buckets=32 << 20,
+        max_probe=8,
+        block_max_probe=lambda: np.full((32 << 20) // 128, 2, np.int32),
+    )
+    huge = SimpleNamespace(table=huge_table)
+    assert stream_probe.min_feasible_group(32 << 20) >= 4
+    assert pipeline._buf_floor(huge) == (128 << 20, True)
+    assert pipeline._buf_floor(huge, n_shards=8) == (64 << 20, True)
+
 
 def test_make_config_streams_policy(monkeypatch):
     """The pipeline's multi-stream default (the REAL `_pick_streams`):
