@@ -181,11 +181,19 @@ def plan_schedule(
     # sub-window PER STREAM, so the tile count is governed by the group's
     # LARGEST stream share: n_tiles_g = max_s ceil((end_gs - base_gs)/cap)
     # <= (max_s w_gs)/cap + 2 <= (Σ_s w_gs)/cap + 2 — summing over groups
-    # keeps the single-stream bound shape (total query length at width cap),
-    # while the schedule stores 1 meta + ``streams`` offset words per entry
+    # keeps the single-stream bound shape (total query length at width cap).
+    # Schedule entries are SELF-CONTAINED (1 meta + ``streams`` offset +
+    # ``streams`` packed rel-bound words per entry), so the only per-group
+    # scalar-prefetch state is tile_bounds — the old
+    # streams*(n_groups+1)-word goff cliff that forced group widening past
+    # ~12M buckets is gone; feasibility now binds at n_groups/coarse, i.e.
+    # ~400M buckets at the defaults before group > 1 is ever needed.
     t_pad = max_rounds * (n_padded // cap + 1) + 2 * sum_rounds
-    base_len = 1 + streams * (n_groups + 1) + n_groups + n_groups // coarse + 1
-    use_meta = base_len + (1 + streams) * t_pad <= SMEM_I32_BUDGET
+    base_len = 1 + n_groups // coarse + 1
+    use_meta = base_len + (1 + 2 * streams) * t_pad <= SMEM_I32_BUDGET
+    # the paged-mode double-buffered page pair (2*(1+2S)*PAGE words, <= 27K
+    # at S=6) lives in the ~50K-word headroom above the budget, so only
+    # tile_bounds itself can make a table infeasible
     if base_len > SMEM_I32_BUDGET:
         raise ValueError(
             f"table too large for a single-chip stream kernel ({n_blocks} "
@@ -203,12 +211,14 @@ def plan_schedule(
 def max_feasible_streams(
     n_local: int, coarse: int = 0, group: int = 0, chain_block: int | None = None
 ) -> int:
-    """Largest stream count whose schedule base arrays fit the SMEM
-    scalar-prefetch budget — mirrors ``plan_schedule``'s ``base_len`` formula
-    exactly (same group/coarse resolution), so the pipeline can clamp its
-    stream policy instead of tracing into the ValueError (e.g. S=6 is
-    unrepresentable at 32768 chain blocks: 6*(32768+1) words of per-group
-    stream bases alone approach the 200K-word budget)."""
+    """Largest stream count whose schedule state fits the SMEM budget —
+    mirrors ``plan_schedule``'s feasibility test exactly (same group/coarse
+    resolution), so the pipeline can clamp its stream policy instead of
+    tracing into the ValueError. With self-contained schedule entries the
+    binding term is the paged-mode double-buffered page pair
+    (2 * (1 + 2*streams) * PAGE words), so the bound is ~40 streams even on
+    human-scale tables — in practice the VMEM tile-lane ceiling
+    (auto_stream_cap's streams * cap <= 10240) binds first."""
     bpb = min(CHAIN_BLOCK, n_local) if chain_block is None else chain_block
     n_blocks = max(1, n_local // bpb)
     g = group or DEFAULT_GROUP
@@ -220,24 +230,22 @@ def max_feasible_streams(
     c = max(1, min(c // g, n_groups))
     while n_groups % c:
         c //= 2
-    return max(
-        1, (SMEM_I32_BUDGET - 2 - n_groups - n_groups // c) // (n_groups + 1)
-    )
+    base_len = 1 + n_groups // c + 1
+    return max(1, ((SMEM_I32_BUDGET - base_len) // (2 * PAGE) - 1) // 2)
 
 
 def min_feasible_group(
     n_local: int, streams: int = 1, coarse: int = 0, chain_block: int | None = None
 ) -> int:
-    """Smallest power-of-two chain-block group width whose schedule base
-    arrays fit the SMEM scalar-prefetch budget at the given stream count
-    (mirrors ``plan_schedule``'s ``base_len``). Human-scale tables cross a
-    hard feasibility cliff around ~12M buckets (~97K chain blocks) at
-    group=1: the per-group scalar metadata alone overflows SMEM and
-    ``plan_schedule`` raises. Widening groups — fewer, taller scheduled
-    groups, each tile serving ``group`` adjacent chain blocks — is the
-    single-chip lever (measured ~10% slower per doubling on mid-size tables,
-    r3_large_table.py, but it is that or sharding/gather). KmerMapper bumps
-    ``config.group`` to this automatically."""
+    """Smallest power-of-two chain-block group width whose scalar-prefetch
+    state fits the SMEM budget at the given stream count (mirrors
+    ``plan_schedule``'s feasibility test). With self-contained schedule
+    entries the per-group SMEM state is just tile_bounds
+    (n_groups/coarse words), so this is 1 up to ~400M buckets at the
+    defaults — the old ~12M-bucket goff cliff (which forced group=4 and a
+    single unsegmented sort on the 150M-key drill, 110-127 Mk/s) is gone.
+    Kept because KmerMapper still bumps ``config.group`` to this
+    automatically, which keeps truly extreme tables feasible."""
     bpb = min(CHAIN_BLOCK, n_local) if chain_block is None else chain_block
     n_blocks = max(1, n_local // bpb)
     g = 1
@@ -251,7 +259,7 @@ def min_feasible_group(
             c = max(1, min(c // g, n_groups))
             while n_groups % c:
                 c //= 2
-            base_len = 1 + streams * (n_groups + 1) + n_groups + n_groups // c + 1
+            base_len = 1 + n_groups // c + 1
             if base_len <= SMEM_I32_BUDGET:
                 return g
         g *= 2
@@ -536,7 +544,7 @@ PAGE = 1024  # schedule entries per paged-mode page (see _kernel docstring)
 
 
 def _kernel(
-    off_ref,  # scalar-prefetch int32: [shard_base, goff(n_groups+1), rounds(n_groups), tile_bounds(n_steps+1)] + (SMEM mode) [t_meta(t_pad), t_off(t_pad)]
+    off_ref,  # scalar-prefetch int32: [shard_base, tile_bounds(n_steps+1)] + (SMEM mode) [t_meta(t_pad), t_off(t_pad) x streams, t_rb(t_pad) x streams]
     key_lo_ref,  # VMEM (coarse, aug*K, gpb) — plane layout, buckets on lanes
     key_hi_ref,
     counts_in_ref,  # VMEM (coarse, K, gpb) uint32, aliased with output
@@ -589,17 +597,23 @@ def _kernel(
     if streams > 1:
         lane_sidx = lane_pos // cap  # which stream owns each lane
         lane_sub = lane_pos % cap  # lane offset within its sub-window
+    else:
+        lane_sub = lane_pos
     n_steps = n_groups // coarse
-    # scalar layout: [shard_base | goff x streams | rounds | tile_bounds |
-    # (SMEM mode) t_meta, t_off x streams]; stream s's group bounds live at
-    # off_ref[1 + s*(n_groups+1) + grp]. streams == 1 is bit-identical to the
-    # single-stream layout. A multi-stream tile serves one (group, round)
-    # with one cap-wide sub-window per independently sorted stream: S fused
-    # DMAs + S sub-bodies per tile — per-query work identical to the
-    # single-stream kernel, while each stream's SORT ran at its small-array
-    # sweet spot (see stream_probe_count_mixed).
-    goff_len = n_groups + 1
-    tb0 = 1 + streams * goff_len + n_groups
+    # scalar layout: [shard_base | tile_bounds | (SMEM mode) t_meta,
+    # t_off x streams, t_rb x streams]. Schedule entries are SELF-CONTAINED:
+    # besides the absolute DMA offset, each (tile, stream) carries its live
+    # window as tile-RELATIVE bounds packed into one word (lo | hi << 16,
+    # both in [0, cap]), so the per-group goff arrays — S*(n_groups+1) SMEM
+    # words that used to force group widening past ~12M buckets at group=1
+    # (the old base_len cliff) — are gone and SMEM holds only tile_bounds.
+    # streams == 1 is bit-identical to the single-stream layout. A
+    # multi-stream tile serves one (group, round) with one cap-wide
+    # sub-window per independently sorted stream: S fused DMAs + S
+    # sub-bodies per tile — per-query work identical to the single-stream
+    # kernel, while each stream's SORT ran at its small-array sweet spot
+    # (see stream_probe_count_mixed).
+    tb0 = 1
     t_lo = off_ref[tb0 + ci]
     t_hi = off_ref[tb0 + ci + 1]
     meta0 = tb0 + n_steps + 1
@@ -626,6 +640,9 @@ def _kernel(
 
         def sched_off(t, s):
             return off_ref[meta0 + (1 + s) * t_pad + t]
+
+        def sched_rb(t, s):
+            return off_ref[meta0 + (1 + streams + s) * t_pad + t]
     else:
         def vmem_copy(k):
             kk = jnp.minimum(k, jnp.int32(n_pages - 1))
@@ -662,6 +679,11 @@ def _kernel(
         def sched_off(t, s):
             return pg_smem[(t // PAGE) % 2, 0, (1 + s) * PAGE + (t % PAGE)]
 
+        def sched_rb(t, s):
+            return pg_smem[
+                (t // PAGE) % 2, 0, (1 + streams + s) * PAGE + (t % PAGE)
+            ]
+
     def start_tile_dmas(t, slot):
         for s in range(streams):
             dma_at(sched_off(t, s), slot, s).start()
@@ -694,23 +716,21 @@ def _kernel(
         base_bucket = off_ref[0] + grp * gpb  # off_ref[0] = shard base (buckets)
         g_local = grp - ci * coarse  # group's slot on the untiled leading dim
         tb = tb_s[g_local]  # (8*aug*K, gpb)
-        # per-lane position / group-range vectors over the (2, S*cap) tile:
-        # lanes [s*cap, (s+1)*cap) hold stream s's sub-window, so pos/start/
-        # end are built from S per-tile scalars via static lane-range selects
-        # (streams == 1 reduces to the plain scalars)
+        # live-window mask from the entry's packed tile-RELATIVE bounds
+        # (rb = lo | hi << 16, both in [0, cap], computed against the entry's
+        # own clamped DMA offset at schedule-build time): a lane is live iff
+        # lane_sub in [lo, hi) — bit-identical to the old absolute
+        # pos-vs-group-bounds test, with one packed SMEM read per (tile,
+        # stream) instead of two goff reads, and ONE lane select instead of
+        # three (no pos vector needed)
         if streams == 1:
-            base_j = sched_off(t, 0)
-            dma_at(base_j, slot, 0).wait()
-            pos = base_j + lane_pos  # (1, cap)
-            start = off_ref[1 + grp]
-            end = off_ref[2 + grp]
+            dma_at(sched_off(t, 0), slot, 0).wait()
+            rbv = sched_rb(t, 0)
         else:
-            bases_t, starts, ends = [], [], []
+            rbs = []
             for s in range(streams):
                 dma_at(sched_off(t, s), slot, s).wait()
-                bases_t.append(sched_off(t, s))
-                starts.append(off_ref[1 + s * goff_len + grp])
-                ends.append(off_ref[1 + s * goff_len + grp + 1])
+                rbs.append(sched_rb(t, s))
 
             def lane_select(vals):
                 out = jnp.full(lane_sidx.shape, vals[0], jnp.int32)
@@ -718,9 +738,7 @@ def _kernel(
                     out = jnp.where(lane_sidx == s, vals[s], out)
                 return out
 
-            pos = lane_sub + lane_select(bases_t)
-            start = lane_select(starts)
-            end = lane_select(ends)
+            rbv = lane_select(rbs)
         qm_lo = q_s[slot, 0:1, :]
         qm_hi = q_s[slot, 1:2, :]
         # bucket id = high bits of the mixed low word (no bucket operand);
@@ -729,7 +747,9 @@ def _kernel(
             qb = jnp.zeros(qm_lo.shape, jnp.int32)
         else:
             qb = (qm_lo >> jnp.uint32(shift)).astype(jnp.int32)
-        live = (pos >= start) & (pos < end)
+        live = (lane_sub >= (rbv & jnp.int32(0xFFFF))) & (
+            lane_sub < (rbv >> jnp.int32(16))
+        )
         local_b = qb - base_bucket  # (1, S*cap), in [0, gpb) when live
         live = live & (local_b >= 0) & (local_b < gpb)
         # invalid queries (all-ones word pair) ride the last bucket's range;
@@ -910,9 +930,10 @@ def stream_count(
     if not use_meta:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM))
         scratch_shapes += [
-            # page buffers: [meta(PAGE) | off_s(PAGE) x streams] per row
-            pltpu.VMEM((2, 1, (1 + streams) * PAGE), jnp.int32),
-            pltpu.SMEM((2, 1, (1 + streams) * PAGE), jnp.int32),
+            # page buffers: [meta | off_s x streams | rb_s x streams] halves,
+            # each PAGE entries long
+            pltpu.VMEM((2, 1, (1 + 2 * streams) * PAGE), jnp.int32),
+            pltpu.SMEM((2, 1, (1 + 2 * streams) * PAGE), jnp.int32),
             pltpu.SMEM((1,), jnp.int32),  # pages loaded so far (cross-step)
             pltpu.SemaphoreType.DMA((2,)),  # HBM -> VMEM hop
             pltpu.SemaphoreType.DMA((2,)),  # VMEM -> SMEM hop
@@ -926,10 +947,15 @@ def stream_count(
     )
     # flat schedule: one entry per (block, probe round, cap-sized tile); a
     # block whose chain bound is L appears ceil(L/aug) times over its query
-    # window. Entries pack (group << PROBE_BITS) | p, plus ONE precomputed
-    # DMA offset PER STREAM: a multi-stream tile serves the same (group,
-    # round) with one cap-wide sub-window per independently sorted stream,
-    # so the tile count follows the group's largest stream share.
+    # window. Entries are SELF-CONTAINED: (group << PROBE_BITS) | p, ONE
+    # precomputed DMA offset PER STREAM, and ONE packed live-window word PER
+    # STREAM (rel_lo | rel_hi << 16, both relative to the entry's own
+    # clamped offset) — so no per-group arrays ever reach SMEM and the
+    # schedule scales to human-genome tables at group=1. A multi-stream
+    # tile serves the same (group, round) with one cap-wide sub-window per
+    # independently sorted stream, so the tile count follows the group's
+    # largest stream share.
+    assert cap <= 0x7FFF, "packed rel bounds hold [0, cap] in 16 bits"
     align = min(ALIGN, cap)
     n_padded_total = sorted_m_lo.shape[0] + pad
     off2d = off.reshape(streams, -1)
@@ -949,8 +975,6 @@ def stream_count(
     tile_bounds = csum[::coarse]  # (n_groups // coarse + 1,)
     parts = [
         jnp.asarray(bucket_base, dtype=jnp.int32).reshape(1),
-        goff2d.reshape(-1),  # stream-major blocks of (n_groups + 1)
-        rounds,
         tile_bounds,
     ]
     # t_grp[t] = group of schedule entry t (boundary scatter + cumsum)
@@ -960,27 +984,33 @@ def stream_count(
     safe = jnp.minimum(t_grp, n_groups - 1)
     # ONE row gather serves every per-group value the build needs: XLA row
     # gathers cost ~6 ns/row FLAT up to 8xu32 rows on v5e (BASELINE.md), so
-    # packing [csum_g | n_tiles_g | bases_s...] into (n_groups + 1, 2 + S)
-    # rows makes the build pay one gather pass over t_pad instead of 2 + S
-    # (row n_groups repeats the last group's tiles/bases — slack entries past
-    # csum[-1] read it harmlessly, exactly like the pre-packed build did)
+    # packing [csum_g | n_tiles_g | bases_s... | starts_s... | ends_s...]
+    # into (n_groups + 1, 2 + 3S) rows makes the build pay one gather pass
+    # over t_pad instead of 2 + 3S. Row n_groups repeats the last group's
+    # tiles/bases and holds start == end == the total end, so slack entries
+    # past csum[-1] read it harmlessly AND their rel bounds collapse to an
+    # empty live window (the old build relied on the invalid-query mask for
+    # the same entries — both yield zero contributions).
+    end_row = g_ends.T[-1:, :]
     packed_g = jnp.concatenate(
         [
             csum[:, None],
             jnp.concatenate([n_tiles_g, n_tiles_g[-1:]])[:, None],
             jnp.concatenate([bases.T, bases.T[-1:, :]], axis=0),
+            jnp.concatenate([g_starts.T, end_row], axis=0),
+            jnp.concatenate([g_ends.T, end_row], axis=0),
         ],
         axis=1,
-    )  # (n_groups + 1, 2 + S) int32
+    )  # (n_groups + 1, 2 + 3S) int32
     rows_t = jnp.take(packed_g, jnp.minimum(t_grp, n_groups), axis=0)
     r = jnp.arange(t_pad, dtype=jnp.int32) - rows_t[:, 0]
     nt = jnp.maximum(rows_t[:, 1], 1)
     p = jnp.minimum(r // nt, max_rounds - 1)
     t_meta = (safe << PROBE_BITS) | p
     # per-stream offsets; a stream whose window has fewer tiles than the
-    # group's max reads harmlessly past its window (the live mask rejects,
-    # and every segment carries >= 2*cap in-array tail slack), clamped so
-    # the final segment's overhang never leaves the array
+    # group's max reads harmlessly past its window (the rel-bound live mask
+    # rejects, and every segment carries >= 2*cap in-array tail slack),
+    # clamped so the final segment's overhang never leaves the array
     tile_step = (r - p * nt) * jnp.int32(cap)
     t_offs = [
         jnp.minimum(
@@ -988,19 +1018,25 @@ def stream_count(
         )
         for s in range(streams)
     ]
-    lanes = 1 + streams  # schedule words per entry: meta + one offset/stream
+    # packed live windows, computed against the CLAMPED offsets so mask and
+    # DMA can never disagree: lane live iff lane in [lo, hi)
+    t_rbs = [
+        jnp.clip(rows_t[:, 2 + streams + s] - t_offs[s], 0, cap)
+        | (jnp.clip(rows_t[:, 2 + 2 * streams + s] - t_offs[s], 0, cap) << 16)
+        for s in range(streams)
+    ]
+    lanes = 1 + 2 * streams  # words/entry: meta + offset + rb per stream
     if use_meta:
-        parts += [t_meta] + t_offs
+        parts += [t_meta] + t_offs + t_rbs
         sched_args = ()
     else:
         extra = n_pages * PAGE - t_pad
         z = jnp.zeros(extra, jnp.int32)
         sched = jnp.stack(
-            [jnp.concatenate([t_meta, z])]
-            + [jnp.concatenate([t_o, z]) for t_o in t_offs]
+            [jnp.concatenate([half, z]) for half in [t_meta] + t_offs + t_rbs]
         )
-        # (n_pages, 1, lanes*PAGE): page row = [meta(PAGE) | off_s(PAGE)...] —
-        # one fused DMA per page covers all halves
+        # (n_pages, 1, lanes*PAGE): page row = [meta(PAGE) | off_s(PAGE)... |
+        # rb_s(PAGE)...] — one fused DMA per page covers all halves
         sched_args = (
             sched.reshape(lanes, n_pages, PAGE)
             .transpose(1, 0, 2)

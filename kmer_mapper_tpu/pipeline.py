@@ -506,11 +506,11 @@ def _buf_floor(
     per-chunk kernel tile count (210 vs 151 Mk/s at 64 vs 16 Mi,
     r3_large_table.py); ragged single-stream files lose only ~3% vs their own
     32 Mi optimum — not worth a second compile shape. Human-scale tables
-    whose schedule needs group >= 4 (~>=25M buckets per chip) raise the floor
-    to 128 Mi: their tall group-wide tiles amortize even better over bigger
-    chunks (150M-key drill, r8_scale_drill.py: 127.5 vs 110.4 Mk/s at
+    (>= 2^25 buckets ≈ 128M keys per chip) keep a 128 Mi floor: measured on
+    the 150M-key drill both pre- and post- the self-contained-schedule
+    kernel (r8_scale_drill.py: group=4 era 127.5 vs 110.4 Mk/s at
     128 vs 64 Mi; the group=1 4.19M-bucket table gained only +1.8% from
-    128 Mi — hence the group >= 4 gate). The paged-ness flag (the kernel's
+    128 Mi — hence the bucket-count gate). The paged-ness flag (the kernel's
     own planner at a 32 Mi probe; the first shard's block span approximates
     a sharded index) picks the stream count in make_config."""
     import jax
@@ -525,7 +525,7 @@ def _buf_floor(
 
     t = index.table
     n_local = max(128, t.n_buckets // max(1, n_shards))
-    if stream_probe.min_feasible_group(n_local) >= 4:
+    if n_local >= 1 << 25:
         floor = 128 << 20
     cap = auto_stream_cap(32 << 20, t.n_buckets, 0, k)
     n_q = 32 << 20  # query slots before invalid thinning (upper bound)

@@ -385,13 +385,18 @@ def test_buf_floor_and_paged_flag(monkeypatch):
     )
     big = SimpleNamespace(table=big_table)
     assert pipeline._buf_floor(big) == (64 << 20, True)
-    # sharded 8 ways the per-shard schedule fits SMEM again
-    assert pipeline._buf_floor(big, n_shards=8) == (64 << 20, False)
+    # sharded 8 ways each shard's schedule is small, but the self-contained
+    # entries are (1 + 2S) words wide, so this dense synthetic shard (every
+    # block at probe bound 2) still pages at the 32 Mi probe
+    assert pipeline._buf_floor(big, n_shards=8) == (64 << 20, True)
     assert pipeline._buf_floor(None) == (64 << 20, False)
 
-    # human-scale tables whose schedule needs group >= 4 raise the floor to
-    # 128 Mi (150M-key drill: 127.5 vs 110.4 Mk/s at 128 vs 64 Mi); sharded
-    # 8 ways each shard plans at group=1 again and the floor drops back
+    # human-scale tables (>= 2^25 buckets per chip) raise the floor to
+    # 128 Mi (150M-key drill: bigger chunks amortize the per-chunk tile
+    # count); sharded 8 ways each shard is below the gate and the floor
+    # drops back. Since the self-contained-schedule kernel these tables
+    # plan at group=1 like everything else (the old group>=4 SMEM cliff is
+    # gone) — the gate is a plain bucket-count threshold.
     from kmer_mapper_tpu.ops import stream_probe
 
     huge_table = SimpleNamespace(
@@ -400,7 +405,7 @@ def test_buf_floor_and_paged_flag(monkeypatch):
         block_max_probe=lambda: np.full((32 << 20) // 128, 2, np.int32),
     )
     huge = SimpleNamespace(table=huge_table)
-    assert stream_probe.min_feasible_group(32 << 20) >= 4
+    assert stream_probe.min_feasible_group(32 << 20) == 1
     assert pipeline._buf_floor(huge) == (128 << 20, True)
     assert pipeline._buf_floor(huge, n_shards=8) == (64 << 20, True)
 
@@ -441,28 +446,21 @@ def test_make_config_streams_policy(monkeypatch):
     # sub-floor buffers (CPU/test configs) stay single-stream
     assert pl._pick_streams(151, False, 1 << 16, 31, small_n) == 1
 
-    # feasibility clamp: at 32768 chain blocks S=6 is unrepresentable
-    # (plan_schedule raises), and max_feasible_streams mirrors that boundary
+    # feasibility clamp: with self-contained schedule entries the SMEM
+    # bound is the paged-mode page pair, not per-group arrays — every
+    # production stream count is feasible even on human-scale tables, and
+    # the planner accepts what max_feasible_streams reports
     feas = stream_probe.max_feasible_streams(big_n)
-    assert 4 <= feas < 6
+    assert feas >= 8
     n_q = 1 << 20
     plan = stream_probe.plan_schedule(
-        big_n, n_q, cap=512, max_probe=5, streams=feas,
+        big_n, n_q, cap=512, max_probe=5, streams=6,
         block_probe=np.full(big_n // 128, 2, np.int32),
     )
     assert not plan.use_meta
-    with pytest.raises(ValueError):
-        stream_probe.plan_schedule(
-            big_n, n_q, cap=512, max_probe=5, streams=feas + 1,
-            block_probe=np.full(big_n // 128, 2, np.int32),
-        )
-    # an even larger table degrades the RAGGED choice below 4 rather than
-    # crashing (8.4M buckets -> 65536 blocks -> at most 2 streams fit)
-    huge_n = 8 << 20
-    assert pl._pick_streams(0, True, buf, 31, huge_n) == min(
-        4, stream_probe.max_feasible_streams(huge_n)
-    )
-    assert stream_probe.max_feasible_streams(huge_n) < 4
+    huge_n = 32 << 20
+    assert stream_probe.max_feasible_streams(huge_n) >= 8
+    assert pl._pick_streams(0, True, buf, 31, huge_n) == 4
 
 
 def test_peek_read_len(tmp_path):

@@ -515,7 +515,11 @@ def test_sharded_auto_widens_groups_per_shard(monkeypatch):
         n_unique=len(unique),
     )
     mesh = make_mesh(n_devices=4, index_parallel=2)  # 4 blocks per shard
-    monkeypatch.setattr(sp, "SMEM_I32_BUDGET", 10)
+    # self-contained schedule entries leave only tile_bounds in SMEM
+    # (n_groups/coarse words), so forcing the cliff on a tiny table needs
+    # coarse=1 plus a budget below the per-shard tile_bounds length
+    monkeypatch.setattr(sp, "DEFAULT_COARSE", 1)
+    monkeypatch.setattr(sp, "SMEM_I32_BUDGET", 5)
     assert sp.min_feasible_group(table.n_buckets // 2) > 1
     config = MapperConfig(
         k=k, buf=1024, max_reads=64, probe="stream", interpret=True

@@ -562,28 +562,28 @@ def test_stream_probe_dense_table_deep_chains(aug):
 
 
 def test_min_feasible_group_matches_plan_feasibility():
-    """min_feasible_group is exactly the plan's base_len boundary: the
-    returned group plans cleanly, half of it raises (human-scale tables —
-    tens of millions of buckets — are infeasible at group=1)."""
+    """Self-contained schedule entries: only tile_bounds occupies SMEM, so
+    group=1 stays feasible through human-genome scale (the old
+    streams*(n_groups+1)-word goff cliff at ~12M buckets is gone) and the
+    boundary only appears at extreme sizes, where min_feasible_group is
+    exactly the plan's base_len feasibility edge."""
     sp = stream_probe
-    for n_buckets in (1 << 15, 1 << 22, 1 << 25, 1 << 26, 1 << 27):
-        g = sp.min_feasible_group(n_buckets)
-        plan = sp.plan_schedule(
-            n_buckets, 1 << 20, cap=512, max_probe=5, group=g
-        )  # must not raise
-        assert plan.group == g
-        if g > 1:
-            with pytest.raises(ValueError, match="too large"):
-                sp.plan_schedule(
-                    n_buckets, 1 << 20, cap=512, max_probe=5, group=g // 2
-                )
-    # 2^27 buckets (≈ a 500M-key table) needs wider groups than 2^25
-    assert sp.min_feasible_group(1 << 27) > sp.min_feasible_group(1 << 25)
-    assert sp.min_feasible_group(1 << 15) == 1
-    # more streams need wider groups at the same table size
-    assert sp.min_feasible_group(1 << 26, streams=4) >= sp.min_feasible_group(
-        1 << 26, streams=1
-    )
+    # human-scale tables (incl. the 150M-key drill's 2^25 buckets) plan at
+    # group=1, any stream count
+    for n_buckets in (1 << 15, 1 << 22, 1 << 25, 1 << 27):
+        assert sp.min_feasible_group(n_buckets) == 1
+        plan = sp.plan_schedule(n_buckets, 1 << 20, cap=512, max_probe=5, group=1)
+        assert plan.group == 1
+    assert sp.min_feasible_group(1 << 27, streams=6) == 1
+    # the boundary still exists far out (> ~400M buckets at the defaults):
+    # the returned group plans cleanly, half of it raises
+    big = 1 << 33
+    g = sp.min_feasible_group(big)
+    assert g > 1
+    plan = sp.plan_schedule(big, 1 << 20, cap=512, max_probe=5, group=g)
+    assert plan.group == g
+    with pytest.raises(ValueError, match="too large"):
+        sp.plan_schedule(big, 1 << 20, cap=512, max_probe=5, group=g // 2)
 
 
 def test_mapper_auto_widens_groups_when_schedule_overflows(monkeypatch):
@@ -594,7 +594,7 @@ def test_mapper_auto_widens_groups_when_schedule_overflows(monkeypatch):
     rng = np.random.default_rng(77)
     keys = np.unique(rng.integers(0, 1 << 62, 16000, dtype=np.uint64))
     table = layout.build_table(keys)  # 4096 buckets -> 32 chain blocks
-    monkeypatch.setattr(sp, "SMEM_I32_BUDGET", 60)
+    monkeypatch.setattr(sp, "SMEM_I32_BUDGET", 3)
     needed = sp.min_feasible_group(table.n_buckets)
     assert needed > 1
     index = ki.TpuKmerIndex.from_entries(
