@@ -65,13 +65,12 @@ def main():
     rng = np.random.default_rng(0)
 
     # the production buffer floor, estimated pre-build (mirrors
-    # pipeline._buf_floor's group>=4 gate; build_table's bucket count is
-    # deterministic in n_keys up to rare chain-bound growth)
+    # pipeline._buf_floor's human-scale bucket-count gate; build_table's
+    # bucket count is deterministic in n_keys up to rare chain-bound growth)
     n_buckets_est = max(4, layout._next_pow2(
         int(np.ceil(n_keys / (layout.BUCKET_KEYS * layout.DEFAULT_MAX_LOAD)))
     ))
-    floor_est = (128 if stream_probe.min_feasible_group(n_buckets_est) >= 4
-                 else 64) << 20
+    floor_est = (128 if n_buckets_est >= 1 << 25 else 64) << 20
     BUF = BUF_ENV or floor_est
     log(f"buffer: {BUF >> 20} Mi ({'env' if BUF_ENV else 'production floor'})")
 

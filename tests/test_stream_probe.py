@@ -259,6 +259,39 @@ def test_stream_probe_multistream_matches_oracle(streams):
     )
 
 
+@pytest.mark.parametrize("streams", [1, 3])
+def test_rel_bound_entries_adversarial_windows(streams, monkeypatch):
+    """The self-contained entries' packed rel-bound masks under adversarial
+    window shapes: one bucket's window spans MANY cap-sized tiles (rel_lo
+    only nonzero on the first, rel_hi < cap on the last), tiny cap keeps
+    starts lane-unaligned, the schedule is FORCED PAGED across several
+    pages, and uneven segments make per-stream windows disagree per group —
+    counts must stay bit-exact vs the oracle."""
+    from kmer_mapper_tpu.ops import stream_probe as sp
+
+    rng = np.random.default_rng(97)
+    keys = np.unique(rng.integers(0, 1 << 62, 5000, dtype=np.uint64))
+    table = layout.build_table(keys)
+    # extreme skew: a handful of hot keys dominate -> multi-tile windows
+    hot = rng.choice(keys, 5)
+    queries = np.concatenate(
+        [
+            np.repeat(hot, 700),  # 3500 duplicates over 5 buckets
+            rng.choice(keys, 900),
+            rng.integers(0, 1 << 62, 601, dtype=np.uint64),
+        ]
+    )
+    rng.shuffle(queries)
+    valid = rng.random(len(queries)) < 0.9
+    monkeypatch.setattr(sp, "PAGE", 64)  # many pages at this entry count
+    monkeypatch.setattr(sp, "SMEM_I32_BUDGET", 400)  # force paged mode
+    out = _run_stream(
+        table, queries, valid, cap=128, streams=streams,
+        block_probe=table.block_max_probe(),
+    )
+    np.testing.assert_array_equal(out, _expect(table, queries, valid))
+
+
 def test_chunk_step_ragged_multistream_matches_oracle():
     """MapperConfig.streams > 1 on the RAGGED step (read_len == 0): same
     counts as the oracle and as the single-stream step."""
