@@ -444,14 +444,23 @@ def _pick_streams(read_len: int, paged: bool, buf: int, k: int, n_local: int) ->
       all 67M buf slots are window candidates, so more segments reach the
       sort sweet spot), S=4 on paged tables (188.9 vs 165.2 at S=2 on the
       12.8M-key table; S=6 is SMEM-infeasible there);
+    * HUMAN-SCALE tables (>= 2^25 buckets per chip, reachable since the
+      self-contained-schedule kernel made group=1 feasible there): S=1 —
+      per-block windows are so thin (~400 queries/block at 128 Mi) that
+      extra streams only widen tiles and add sub-pass overhead (150M-key
+      drill at group=1: S=1/2/4 = 158.0/140.0/117.8 Mk/s,
+      r8_scale_drill.py). Ragged input gets the same gate by the same
+      thin-window argument (extrapolated, not separately measured);
 
-    clamped by ``stream_probe.max_feasible_streams`` so a large table can
-    never pick a stream count whose schedule base arrays overflow SMEM
-    (``plan_schedule`` would raise at trace time)."""
+    clamped by ``stream_probe.max_feasible_streams`` (with self-contained
+    schedule entries that bound is ~40 — it only binds in monkeypatched
+    tests, but keeps the policy mechanically safe)."""
     if buf < 64 << 20 or default_config(k=k).probe != "stream":
         return 1
     from .ops import stream_probe
 
+    if n_local >= 1 << 25:
+        return 1
     desired = (2 if paged else 4) if read_len else (4 if paged else 6)
     return max(1, min(desired, stream_probe.max_feasible_streams(n_local)))
 

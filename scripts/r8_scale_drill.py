@@ -18,9 +18,11 @@ Env: STEPS (default 4: distinct buffer-sized chunks resident at once),
      REUSE_INDEX=1 (load /tmp/drill.tpuidx.npz from a prior run instead of
      rebuilding — only comparable across runs with the same BUF_MI, since
      half the keys are sampled from the first chunk).
-Measured here (150M keys): 64 Mi = 110.4, 128 Mi = 127.5 Mk/s; forcing
-STREAMS=2 widens groups 4 -> 8 and drops to 81.2 — hence the production
-policy (S=1, 128 Mi floor) for group>=4 tables.
+Measured here (150M keys): group=4 era (pre self-contained schedule):
+64 Mi = 110.4, 128 Mi = 127.5, STREAMS=2 (widened groups to 8) = 81.2.
+group=1 era (self-contained schedule entries, round-5 session 5):
+128 Mi S=1/2/4 = 158.0/140.0/117.8 Mk/s — hence the production policy
+(S=1, 128 Mi floor) for >= 2^25-bucket tables.
 """
 import functools
 import os
@@ -235,7 +237,7 @@ def main():
         f"{int(node_counts.sum())} node hits (RSS {rss_gb():.1f} GB)"
     )
     print(
-        f"RESULT n_keys={len(entry_kmers)} buckets={table.n_buckets} "
+        f"RESULT n_keys={index.n_unique} buckets={table.n_buckets} "
         f"table_gb={table.nbytes / 1e9:.2f} build_s={t_build:.1f} "
         f"save_s={t_save:.1f} load_s={t_load:.1f} disk_gb={sz:.2f} "
         f"group={config.group} streams={config.streams} cap={config.stream_cap} "

@@ -458,9 +458,15 @@ def test_make_config_streams_policy(monkeypatch):
         block_probe=np.full(big_n // 128, 2, np.int32),
     )
     assert not plan.use_meta
+    # human-scale tables (>= 2^25 buckets): S=1 — thin per-block windows
+    # make extra streams pure overhead (150M-key drill at group=1:
+    # S=1/2/4 = 158.0/140.0/117.8 Mk/s)
     huge_n = 32 << 20
     assert stream_probe.max_feasible_streams(huge_n) >= 8
-    assert pl._pick_streams(0, True, buf, 31, huge_n) == 4
+    assert pl._pick_streams(0, True, buf, 31, huge_n) == 1
+    assert pl._pick_streams(151, True, 128 << 20, 31, huge_n) == 1
+    # just below the gate the mid-size paged policy still applies
+    assert pl._pick_streams(151, True, buf, 31, (1 << 25) - (1 << 20)) == 2
 
 
 def test_peek_read_len(tmp_path):
