@@ -327,10 +327,10 @@ class KmerMapper:
     def __init__(self, index: TpuKmerIndex, config: MapperConfig, device=None):
         self.index = index
         if config.probe == "stream" and config.aug == 1:
-            # human-scale tables (≳12M buckets) overflow the schedule's SMEM
-            # base arrays at group=1: widen groups to the smallest feasible
-            # power of two so the kernel can run at all (the tile then serves
-            # `group` adjacent chain blocks; bit-identical results)
+            # with self-contained schedule entries this is 1 through ~400M
+            # buckets; kept so truly extreme tables widen groups to the
+            # smallest feasible power of two instead of failing (the tile
+            # then serves `group` adjacent chain blocks; bit-identical)
             needed = stream_probe.min_feasible_group(
                 index.table.n_buckets, streams=config.streams
             )

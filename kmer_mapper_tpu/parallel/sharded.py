@@ -418,9 +418,11 @@ class ShardedKmerMapper:
     def __init__(self, index: TpuKmerIndex, config: MapperConfig, mesh: Mesh):
         self.index = index
         if config.probe == "stream" and config.aug == 1:
-            # human-scale tables: per-SHARD schedule base arrays must fit SMEM
-            # (each device plans over its own bucket range) — widen groups to
-            # the local shard's smallest feasible width (see KmerMapper)
+            # per-SHARD scalar-prefetch state must fit SMEM (each device
+            # plans over its own bucket range) — constant-1 through ~400M
+            # buckets/shard since the self-contained-schedule kernel; kept
+            # so extreme shards widen groups instead of failing (see
+            # KmerMapper)
             n_local = max(128, index.table.n_buckets // mesh.shape[INDEX_AXIS])
             needed = stream_probe.min_feasible_group(
                 n_local, streams=config.streams

@@ -162,7 +162,7 @@ def main():
     )
     config = default_config(
         k=K, buf=BUF, max_reads=max(1024, BUF // 64), read_len=READ_LEN,
-        streams=streams,
+        streams=streams, group=int(os.environ.get("GROUP", 0)),
     )
     mapper = KmerMapper(index, config)  # resolves auto group + cap
     config = mapper.config
