@@ -326,6 +326,14 @@ class KmerMapper:
 
     def __init__(self, index: TpuKmerIndex, config: MapperConfig, device=None):
         self.index = index
+        if config.probe == "stream" and config.aug == 1 and not config.group:
+            # human-scale tables run group=2: per-block windows are so thin
+            # (~400 queries/block at 128 Mi) that round-slack tiles dominate
+            # the schedule, and pairing chain blocks halves them for less
+            # than the taller tile body costs (150M-key drill, 128 Mi S=1:
+            # group=1/2/4 = 158.0/160.7/126.9 Mk/s, r8_scale_drill.py)
+            if index.table.n_buckets >= stream_probe.HUMAN_SCALE_BUCKETS:
+                config = dataclasses.replace(config, group=2)
         if config.probe == "stream" and config.aug == 1:
             # with self-contained schedule entries this is 1 through ~400M
             # buckets; kept so truly extreme tables widen groups to the

@@ -84,6 +84,11 @@ DEFAULT_COARSE = 16  # chain blocks per grid step (amortizes grid-step overhead)
 N_DMA_SLOTS = 4  # query-tile DMA pipelining depth (issued n-1 tiles ahead)
 DEFAULT_GROUP = 1  # adjacent chain blocks per widened one-hot tile
 SMEM_I32_BUDGET = 200_000  # scalar-prefetch words that safely fit SMEM (1 MB)
+HUMAN_SCALE_BUCKETS = 1 << 25  # tables at/above this per-chip bucket count
+# have ~400-query/block windows at 128 Mi: round-slack tiles dominate the
+# schedule, so production policy flips to S=1, group=2, 128 Mi buffers
+# (150M-key drill: S=1/2/4 = 158.0/140.0/117.8; group=1/2/4 =
+# 158.0/160.7/126.9; 64 vs 128 Mi = 115.1/158.0 Mk/s — r8_scale_drill.py)
 PROBE_BITS = 3  # schedule entries pack (group << PROBE_BITS) | probe_round;
 # index/layout.py bounds chains at MAX_PROBE_LIMIT = 8 rounds, so 3 bits
 

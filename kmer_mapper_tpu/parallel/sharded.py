@@ -417,13 +417,19 @@ class ShardedKmerMapper:
 
     def __init__(self, index: TpuKmerIndex, config: MapperConfig, mesh: Mesh):
         self.index = index
+        n_local = max(128, index.table.n_buckets // mesh.shape[INDEX_AXIS])
+        if (config.probe == "stream" and config.aug == 1 and not config.group
+                and n_local >= stream_probe.HUMAN_SCALE_BUCKETS):
+            # human-scale SHARDS pair chain blocks like KmerMapper does
+            # (thin windows -> round-slack tiles dominate; drill
+            # group=1/2/4 = 158.0/160.7/126.9 Mk/s)
+            config = dataclasses.replace(config, group=2)
         if config.probe == "stream" and config.aug == 1:
             # per-SHARD scalar-prefetch state must fit SMEM (each device
             # plans over its own bucket range) — constant-1 through ~400M
             # buckets/shard since the self-contained-schedule kernel; kept
             # so extreme shards widen groups instead of failing (see
             # KmerMapper)
-            n_local = max(128, index.table.n_buckets // mesh.shape[INDEX_AXIS])
             needed = stream_probe.min_feasible_group(
                 n_local, streams=config.streams
             )

@@ -459,7 +459,7 @@ def _pick_streams(read_len: int, paged: bool, buf: int, k: int, n_local: int) ->
         return 1
     from .ops import stream_probe
 
-    if n_local >= 1 << 25:
+    if n_local >= stream_probe.HUMAN_SCALE_BUCKETS:
         return 1
     desired = (2 if paged else 4) if read_len else (4 if paged else 6)
     return max(1, min(desired, stream_probe.max_feasible_streams(n_local)))
@@ -534,7 +534,7 @@ def _buf_floor(
 
     t = index.table
     n_local = max(128, t.n_buckets // max(1, n_shards))
-    if n_local >= 1 << 25:
+    if n_local >= stream_probe.HUMAN_SCALE_BUCKETS:
         floor = 128 << 20
     cap = auto_stream_cap(32 << 20, t.n_buckets, 0, k)
     n_q = 32 << 20  # query slots before invalid thinning (upper bound)

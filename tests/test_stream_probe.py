@@ -5,6 +5,8 @@ its semantics bit-exactly: hits, misses, heavy duplicates (poly-A style skew),
 invalid-window masking, chain wrapping, accumulation across calls, and the
 full chunk step in stream mode.
 """
+import dataclasses
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -617,6 +619,48 @@ def test_min_feasible_group_matches_plan_feasibility():
     assert plan.group == g
     with pytest.raises(ValueError, match="too large"):
         sp.plan_schedule(big, 1 << 20, cap=512, max_probe=5, group=g // 2)
+
+
+def test_mapper_human_scale_group_pairing(monkeypatch):
+    """KmerMapper pairs chain blocks (group=2) on human-scale tables
+    (drill: group=1/2/4 = 158.0/160.7/126.9 Mk/s); an explicit config.group
+    wins over the policy, and counts stay oracle-exact at group=2."""
+    sp = stream_probe
+    rng = np.random.default_rng(11)
+    keys = np.unique(rng.integers(0, 1 << 62, 16000, dtype=np.uint64))
+    table = layout.build_table(keys)  # 4096 buckets -> 32 chain blocks
+    monkeypatch.setattr(sp, "HUMAN_SCALE_BUCKETS", table.n_buckets)
+    index = ki.TpuKmerIndex.from_entries(
+        keys, rng.integers(0, 500, len(keys)).astype(np.int32)
+    )
+    config = MapperConfig(
+        k=31, buf=1 << 12, max_reads=256, probe="stream", interpret=True
+    )
+    mapper = KmerMapper(index, config)
+    assert mapper.config.group == 2
+    explicit = KmerMapper(index, dataclasses.replace(config, group=1))
+    assert explicit.config.group == 1
+    # oracle-exact at the paired-group layout
+    reads = ["".join(rng.choice(list("ACGT"), 64)) for _ in range(30)]
+    from kmer_mapper_tpu.io import readers
+
+    flat = "".join(reads)
+    chunk = readers.SequenceChunk(
+        bases=np.frombuffer(flat.encode(), np.uint8),
+        read_starts=np.cumsum([0] + [64] * 29).astype(np.int64),
+    )
+    for packed, lengths, nb, _, ninv in readers.pack_for_device(
+        iter([chunk]), config.buf, config.max_reads, 31
+    ):
+        mapper.map_chunk(packed, lengths, nb, ninv)
+    hashes = oracle.kmer_hashes_ragged(
+        oracle.encode_bytes(chunk.bases), chunk.read_lengths, 31
+    )
+    slots = layout.query_table(table, hashes)
+    expect = np.bincount(slots[slots >= 0], minlength=table.n_slots).astype(
+        np.uint32
+    )
+    np.testing.assert_array_equal(mapper.slot_counts(), expect)
 
 
 def test_mapper_auto_widens_groups_when_schedule_overflows(monkeypatch):
